@@ -1,0 +1,484 @@
+"""SE(3) / SO(3) host-side math: quaternions, isometries, Lie-algebra maps.
+
+Same capability surface as the reference's pyquaternion-based utilities
+(reference: pytorch/utils/motion_util.py), re-implemented from first
+principles (pyquaternion is not a dependency here).  Host-side numpy is used
+for trajectory bookkeeping and dataset poses; the in-jit twist/exp math used
+by the tracker lives in :mod:`difusion_tpu.ops.se3` as jax code.
+
+Conventions: quaternions are (w, x, y, z), unit-norm for rotations; twists are
+``xi = [rho, phi]`` (translation first) as in the reference tracker.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# ----------------------------------------------------------------------------
+# so(3) / se(3) maps
+# ----------------------------------------------------------------------------
+
+
+def so3_wedge(phi: np.ndarray) -> np.ndarray:
+    """Hat operator: (3,) -> (3,3) skew-symmetric (batch-aware: (N,3)->(N,3,3))."""
+    phi = np.atleast_2d(phi)
+    out = np.zeros(phi.shape[:1] + (3, 3))
+    out[:, 0, 1] = -phi[:, 2]
+    out[:, 1, 0] = phi[:, 2]
+    out[:, 0, 2] = phi[:, 1]
+    out[:, 2, 0] = -phi[:, 1]
+    out[:, 1, 2] = -phi[:, 0]
+    out[:, 2, 1] = phi[:, 0]
+    return np.squeeze(out)
+
+
+def so3_vee(Phi: np.ndarray) -> np.ndarray:
+    """Inverse hat operator."""
+    if Phi.ndim < 3:
+        Phi = Phi[None]
+    out = np.stack([Phi[:, 2, 1], Phi[:, 0, 2], Phi[:, 1, 0]], axis=1)
+    return np.squeeze(out)
+
+
+def so3_exp(phi: np.ndarray) -> np.ndarray:
+    """Rodrigues formula: axis-angle (3,) -> rotation matrix (3,3)."""
+    angle = np.linalg.norm(phi)
+    if np.isclose(angle, 0.0):
+        return np.eye(3) + so3_wedge(phi)
+    axis = phi / angle
+    s, c = np.sin(angle), np.cos(angle)
+    return c * np.eye(3) + (1 - c) * np.outer(axis, axis) + s * so3_wedge(axis)
+
+
+def so3_log(R: np.ndarray) -> np.ndarray:
+    cos_angle = np.clip(0.5 * np.trace(R) - 0.5, -1.0, 1.0)
+    angle = np.arccos(cos_angle)
+    if np.isclose(angle, 0.0):
+        return so3_vee(R - np.eye(3))
+    return so3_vee((0.5 * angle / np.sin(angle)) * (R - R.T))
+
+
+def so3_left_jacobian(phi: np.ndarray) -> np.ndarray:
+    angle = np.linalg.norm(phi)
+    if np.isclose(angle, 0.0):
+        return np.eye(3) + 0.5 * so3_wedge(phi)
+    axis = phi / angle
+    s, c = np.sin(angle), np.cos(angle)
+    return (s / angle) * np.eye(3) + (1 - s / angle) * np.outer(axis, axis) \
+        + ((1 - c) / angle) * so3_wedge(axis)
+
+
+def so3_inv_left_jacobian(phi: np.ndarray) -> np.ndarray:
+    angle = np.linalg.norm(phi)
+    if np.isclose(angle, 0.0):
+        return np.eye(3) - 0.5 * so3_wedge(phi)
+    axis = phi / angle
+    half = 0.5 * angle
+    cot = 1.0 / np.tan(half)
+    return half * cot * np.eye(3) + (1 - half * cot) * np.outer(axis, axis) \
+        - half * so3_wedge(axis)
+
+
+def se3_curlywedge(xi: np.ndarray) -> np.ndarray:
+    xi = np.atleast_2d(xi)
+    out = np.zeros(xi.shape[:1] + (6, 6))
+    rot = so3_wedge(xi[:, 3:6]).reshape(-1, 3, 3)
+    out[:, 0:3, 0:3] = rot
+    out[:, 0:3, 3:6] = so3_wedge(xi[:, 0:3]).reshape(-1, 3, 3)
+    out[:, 3:6, 3:6] = rot
+    return np.squeeze(out)
+
+
+def se3_left_jacobian_Q(xi: np.ndarray) -> np.ndarray:
+    rho, phi = xi[0:3], xi[3:6]
+    rx, px = so3_wedge(rho), so3_wedge(phi)
+    ph = np.linalg.norm(phi)
+    ph2, ph3, ph4, ph5 = ph * ph, ph**3, ph**4, ph**5
+    cph, sph = np.cos(ph), np.sin(ph)
+    m1 = 0.5
+    m2 = (ph - sph) / ph3
+    m3 = (0.5 * ph2 + cph - 1.0) / ph4
+    m4 = (ph - 1.5 * sph + 0.5 * ph * cph) / ph5
+    t1 = rx
+    t2 = px @ rx + rx @ px + px @ rx @ px
+    t3 = px @ px @ rx + rx @ px @ px - 3.0 * px @ rx @ px
+    t4 = px @ rx @ px @ px + px @ px @ rx @ px
+    return m1 * t1 + m2 * t2 + m3 * t3 + m4 * t4
+
+
+def se3_left_jacobian(xi: np.ndarray) -> np.ndarray:
+    phi = xi[3:6]
+    if np.isclose(np.linalg.norm(phi), 0.0):
+        return np.eye(6) + 0.5 * se3_curlywedge(xi)
+    J = so3_left_jacobian(phi)
+    Q = se3_left_jacobian_Q(xi)
+    out = np.zeros((6, 6))
+    out[0:3, 0:3] = J
+    out[0:3, 3:6] = Q
+    out[3:6, 3:6] = J
+    return out
+
+
+def se3_inv_left_jacobian(xi: np.ndarray) -> np.ndarray:
+    phi = xi[3:6]
+    if np.isclose(np.linalg.norm(phi), 0.0):
+        return np.eye(6) - 0.5 * se3_curlywedge(xi)
+    Jinv = so3_inv_left_jacobian(phi)
+    Q = se3_left_jacobian_Q(xi)
+    out = np.zeros((6, 6))
+    out[0:3, 0:3] = Jinv
+    out[0:3, 3:6] = -Jinv @ Q @ Jinv
+    out[3:6, 3:6] = Jinv
+    return out
+
+
+def project_orthogonal(rot: np.ndarray) -> np.ndarray:
+    u, _, vh = np.linalg.svd(rot, full_matrices=True)
+    out = u @ vh
+    if np.linalg.det(out) < 0:
+        u[:, 2] = -u[:, 2]
+        out = u @ vh
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Quaternion (w, x, y, z)
+# ----------------------------------------------------------------------------
+
+
+class Quaternion:
+    """Minimal unit-quaternion class (replacement for pyquaternion.Quaternion)."""
+
+    __slots__ = ("q",)
+
+    def __init__(self, w=1.0, x=0.0, y=0.0, z=0.0, *, array=None, axis=None,
+                 degrees=None, radians=None, matrix=None, imaginary=None, real=None):
+        if array is not None:
+            self.q = np.asarray(array, dtype=np.float64).copy()
+        elif matrix is not None:
+            self.q = self._from_matrix(np.asarray(matrix, dtype=np.float64))
+        elif axis is not None:
+            angle = np.deg2rad(degrees) if degrees is not None else (radians or 0.0)
+            axis = np.asarray(axis, dtype=np.float64)
+            axis = axis / np.linalg.norm(axis)
+            half = 0.5 * angle
+            self.q = np.concatenate([[np.cos(half)], np.sin(half) * axis])
+        elif imaginary is not None:
+            self.q = np.concatenate([[float(real)], np.asarray(imaginary, dtype=np.float64)])
+        else:
+            self.q = np.array([w, x, y, z], dtype=np.float64)
+
+    @staticmethod
+    def _from_matrix(m: np.ndarray) -> np.ndarray:
+        if m.shape == (4, 4):
+            m = m[:3, :3]
+        # Shepperd's method: pick the largest diagonal combination for stability.
+        tr = np.trace(m)
+        if tr > 0:
+            s = np.sqrt(tr + 1.0) * 2
+            w = 0.25 * s
+            x = (m[2, 1] - m[1, 2]) / s
+            y = (m[0, 2] - m[2, 0]) / s
+            z = (m[1, 0] - m[0, 1]) / s
+        elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+            s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+            w = (m[2, 1] - m[1, 2]) / s
+            x = 0.25 * s
+            y = (m[0, 1] + m[1, 0]) / s
+            z = (m[0, 2] + m[2, 0]) / s
+        elif m[1, 1] > m[2, 2]:
+            s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+            w = (m[0, 2] - m[2, 0]) / s
+            x = (m[0, 1] + m[1, 0]) / s
+            y = 0.25 * s
+            z = (m[1, 2] + m[2, 1]) / s
+        else:
+            s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+            w = (m[1, 0] - m[0, 1]) / s
+            x = (m[0, 2] + m[2, 0]) / s
+            y = (m[1, 2] + m[2, 1]) / s
+            z = 0.25 * s
+        q = np.array([w, x, y, z])
+        return q / np.linalg.norm(q)
+
+    # -- accessors ------------------------------------------------------------
+    @property
+    def w(self):
+        return self.q[0]
+
+    @property
+    def vector(self):
+        return self.q[1:]
+
+    @property
+    def elements(self):
+        return self.q
+
+    @property
+    def norm(self):
+        return np.linalg.norm(self.q)
+
+    @property
+    def normalised(self):
+        return Quaternion(array=self.q / self.norm)
+
+    @property
+    def inverse(self):
+        conj = self.q * np.array([1.0, -1.0, -1.0, -1.0])
+        return Quaternion(array=conj / (self.norm ** 2))
+
+    @property
+    def conjugate(self):
+        return Quaternion(array=self.q * np.array([1.0, -1.0, -1.0, -1.0]))
+
+    @property
+    def rotation_matrix(self) -> np.ndarray:
+        w, x, y, z = self.normalised.q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+
+    @property
+    def transformation_matrix(self) -> np.ndarray:
+        out = np.eye(4)
+        out[:3, :3] = self.rotation_matrix
+        return out
+
+    # -- algebra --------------------------------------------------------------
+    def __mul__(self, other: "Quaternion") -> "Quaternion":
+        w1, x1, y1, z1 = self.q
+        w2, x2, y2, z2 = other.q
+        return Quaternion(
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        )
+
+    def rotate(self, v: np.ndarray) -> np.ndarray:
+        return self.rotation_matrix @ np.asarray(v, dtype=np.float64)
+
+    def __repr__(self):
+        return f"Quaternion({self.q[0]:+.6f} {self.q[1]:+.6f}i {self.q[2]:+.6f}j {self.q[3]:+.6f}k)"
+
+    # -- exponential map ------------------------------------------------------
+    @staticmethod
+    def log(q: "Quaternion") -> "Quaternion":
+        qn = q.normalised
+        v_norm = np.linalg.norm(qn.vector)
+        if v_norm < 1e-12:
+            return Quaternion(0.0, 0.0, 0.0, 0.0)
+        angle = np.arctan2(v_norm, qn.w)
+        axis = qn.vector / v_norm
+        return Quaternion(array=np.concatenate([[0.0], angle * axis]))
+
+    @staticmethod
+    def exp(q: "Quaternion") -> "Quaternion":
+        v = q.vector
+        v_norm = np.linalg.norm(v)
+        w = np.exp(q.w)
+        if v_norm < 1e-12:
+            return Quaternion(array=np.array([w, 0.0, 0.0, 0.0]))
+        return Quaternion(array=w * np.concatenate([[np.cos(v_norm)], np.sin(v_norm) * v / v_norm]))
+
+    @staticmethod
+    def random(rng: np.random.Generator = None) -> "Quaternion":
+        # Uniform over SO(3) (Shoemake's subgroup algorithm).
+        r = (rng or np.random).random(3)
+        s1, s2 = np.sqrt(1 - r[0]), np.sqrt(r[0])
+        t1, t2 = 2 * np.pi * r[1], 2 * np.pi * r[2]
+        return Quaternion(np.cos(t2) * s2, np.sin(t1) * s1, np.cos(t1) * s1, np.sin(t2) * s2)
+
+    @staticmethod
+    def slerp(q0: "Quaternion", q1: "Quaternion", amount: float) -> "Quaternion":
+        a, b = q0.normalised.q, q1.normalised.q
+        dot = float(np.dot(a, b))
+        if dot < 0.0:
+            b, dot = -b, -dot
+        if dot > 0.9995:
+            out = a + amount * (b - a)
+            return Quaternion(array=out / np.linalg.norm(out))
+        theta0 = np.arccos(dot)
+        theta = theta0 * amount
+        s0 = np.cos(theta) - dot * np.sin(theta) / np.sin(theta0)
+        s1 = np.sin(theta) / np.sin(theta0)
+        return Quaternion(array=s0 * a + s1 * b)
+
+
+# ----------------------------------------------------------------------------
+# Isometry (rigid transform)
+# ----------------------------------------------------------------------------
+
+
+class Isometry:
+    """Rigid transform q,t with the same operation surface as the reference's
+    ``Isometry`` (reference: pytorch/utils/motion_util.py:162-339)."""
+
+    GL_POST_MULT: "Quaternion"
+
+    def __init__(self, q: Quaternion = None, t=None):
+        self.q = q if q is not None else Quaternion()
+        t = np.zeros(3) if t is None else np.asarray(t, dtype=np.float64)
+        assert t.shape == (3,)
+        self.t = t
+
+    def __repr__(self):
+        return f"Isometry: t = {self.t}, q = {self.q}"
+
+    @property
+    def rotation(self) -> "Isometry":
+        return Isometry(q=self.q)
+
+    @property
+    def matrix(self) -> np.ndarray:
+        out = self.q.transformation_matrix
+        out[:3, 3] = self.t
+        return out
+
+    @staticmethod
+    def from_matrix(mat: np.ndarray, t_component=None, ortho=False) -> "Isometry":
+        mat = np.asarray(mat, dtype=np.float64)
+        if t_component is None:
+            rot = mat[:3, :3]
+            if ortho:
+                rot = project_orthogonal(rot)
+            return Isometry(q=Quaternion(matrix=rot), t=mat[:3, 3])
+        rot = project_orthogonal(mat) if ortho else mat
+        return Isometry(q=Quaternion(matrix=rot), t=np.asarray(t_component))
+
+    @staticmethod
+    def from_twist(xi: np.ndarray) -> "Isometry":
+        rho, phi = np.asarray(xi)[:3], np.asarray(xi)[3:6]
+        iso = Isometry(q=Quaternion(matrix=so3_exp(phi)))
+        iso.t = so3_left_jacobian(phi) @ rho
+        return iso
+
+    @staticmethod
+    def from_so3_exp(phi: np.ndarray) -> "Isometry":
+        return Isometry(q=Quaternion(matrix=so3_exp(phi)))
+
+    def log(self) -> np.ndarray:
+        phi = so3_log(self.q.rotation_matrix)
+        rho = so3_inv_left_jacobian(phi) @ self.t
+        return np.hstack([rho, phi])
+
+    def adjoint_matrix(self) -> np.ndarray:
+        R = self.q.rotation_matrix
+        out = np.zeros((6, 6))
+        out[0:3, 0:3] = R
+        out[3:6, 3:6] = R
+        out[0:3, 3:6] = so3_wedge(self.t) @ R
+        return out
+
+    def inv(self) -> "Isometry":
+        qinv = self.q.inverse
+        return Isometry(q=qinv, t=-qinv.rotate(self.t))
+
+    def dot(self, right: "Isometry") -> "Isometry":
+        return Isometry(q=self.q * right.q, t=self.q.rotate(right.t) + self.t)
+
+    def to_gl_camera(self) -> "Isometry":
+        return Isometry(q=self.q * Isometry.GL_POST_MULT, t=self.t)
+
+    @staticmethod
+    def look_at(source: np.ndarray, target: np.ndarray, up: np.ndarray = None) -> "Isometry":
+        z_dir = target - source
+        z_dir = z_dir / np.linalg.norm(z_dir)
+        if up is None:
+            up = np.array([0.0, 1.0, 0.0])
+            if np.linalg.norm(np.cross(z_dir, up)) < 1e-6:
+                up = np.array([1.0, 0.0, 0.0])
+        else:
+            up = up / np.linalg.norm(up)
+        x_dir = np.cross(z_dir, up)
+        x_dir = x_dir / np.linalg.norm(x_dir)
+        y_dir = np.cross(z_dir, x_dir)
+        return Isometry(q=Quaternion(matrix=np.column_stack([x_dir, y_dir, z_dir])), t=np.asarray(source, dtype=np.float64))
+
+    @staticmethod
+    def random(rng: np.random.Generator = None) -> "Isometry":
+        return Isometry(q=Quaternion.random(rng), t=(rng or np.random).random(3))
+
+    @staticmethod
+    def interpolate(source: "Isometry", target: "Isometry", alpha: float) -> "Isometry":
+        return Isometry(q=Quaternion.slerp(source.q, target.q, alpha),
+                        t=source.t * (1 - alpha) + target.t * alpha)
+
+    def tangent(self, prev_iso: "Isometry", next_iso: "Isometry") -> "Isometry":
+        t = 0.5 * (next_iso.t - prev_iso.t)
+        l1 = Quaternion.log((self.q.inverse * prev_iso.q).normalised)
+        l2 = Quaternion.log((self.q.inverse * next_iso.q).normalised)
+        e = Quaternion(array=-0.25 * (l1.q + l2.q))
+        return Isometry(t=t, q=self.q * Quaternion.exp(e))
+
+    # -- 6D / 12D continuous representations ---------------------------------
+    @property
+    def continuous_repr(self) -> np.ndarray:
+        rot = self.q.rotation_matrix[:, 0:2].T.flatten()
+        return np.concatenate([rot, self.t])
+
+    @staticmethod
+    def from_continuous_repr(rep, gs=True) -> "Isometry":
+        rep = np.asarray(rep, dtype=np.float64)
+        assert rep.shape == (9,)
+        col1, col2 = rep[0:3].copy(), rep[3:6].copy()
+        if gs:
+            col1 /= np.linalg.norm(col1)
+            col2 = col2 - np.dot(col1, col2) * col1
+            col2 /= np.linalg.norm(col2)
+        col3 = np.cross(col1, col2)
+        return Isometry(q=Quaternion(matrix=np.column_stack([col1, col2, col3])), t=rep[6:9])
+
+    @property
+    def full_repr(self) -> np.ndarray:
+        return np.concatenate([self.q.rotation_matrix.T.flatten(), self.t])
+
+    @staticmethod
+    def from_full_repr(rep: np.ndarray, ortho=False) -> "Isometry":
+        rep = np.asarray(rep, dtype=np.float64)
+        assert rep.shape == (12,)
+        rot = rep[0:9].reshape(3, 3).T
+        if ortho:
+            rot = project_orthogonal(rot)
+        return Isometry(q=Quaternion(matrix=rot), t=rep[9:12])
+
+    # -- application ----------------------------------------------------------
+    def __matmul__(self, other):
+        """Apply to points (N,3)/(3,) or compose with another Isometry.
+
+        Accepts numpy arrays and jax arrays (returns the same family).
+        """
+        if isinstance(other, Isometry):
+            return self.dot(other)
+        R = self.q.rotation_matrix
+        if hasattr(other, "ndim") and other.ndim == 2:
+            if type(other).__module__.startswith("jax"):
+                import jax.numpy as jnp
+                return other @ jnp.asarray(R.T, dtype=other.dtype) + jnp.asarray(self.t, dtype=other.dtype)
+            return np.asarray(other) @ R.T + self.t[None, :]
+        return R @ np.asarray(other) + self.t
+
+
+Isometry.GL_POST_MULT = Quaternion(axis=[1.0, 0.0, 0.0], degrees=180.0)
+
+
+def ate_rmse(gt: list, pred: list, align: bool = True) -> float:
+    """Absolute trajectory error (RMSE over translation), with optional SE(3)
+    (Umeyama, no scale) alignment -- the evaluation the reference leaves to
+    external tooling (SURVEY.md section 4)."""
+    gt_t = np.stack([p.t for p in gt])
+    pd_t = np.stack([p.t for p in pred])
+    assert gt_t.shape == pd_t.shape
+    if align:
+        mu_g, mu_p = gt_t.mean(0), pd_t.mean(0)
+        gc, pc = gt_t - mu_g, pd_t - mu_p
+        W = gc.T @ pc
+        u, _, vh = np.linalg.svd(W)
+        S = np.eye(3)
+        if np.linalg.det(u @ vh) < 0:
+            S[2, 2] = -1
+        R = u @ S @ vh
+        pd_t = (R @ pc.T).T + mu_g
+    err = gt_t - pd_t
+    return float(np.sqrt((err ** 2).sum(-1).mean()))
