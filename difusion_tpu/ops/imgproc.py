@@ -1,0 +1,353 @@
+"""Depth/intensity image processing ops (TPU re-expression of the reference
+CUDA imgproc extension, pytorch/system/ext/imgproc/{imgproc.cu,photometric.cu}).
+
+Every op is a static-shape ``jnp`` map over the image grid -- the CUDA
+per-pixel kernels are embarrassingly parallel stencils, which XLA fuses into a
+handful of HBM passes on TPU; no Pallas needed at these arithmetic
+intensities.  Invalidity is carried as explicit boolean masks instead of the
+reference's NaN sentinels (NaN-free math keeps XLA free to use fast paths),
+with thin NaN-compatible wrappers where the reference API is mirrored.
+
+Semantics parity notes are cited per-function.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Intrinsic(NamedTuple):
+    """Pinhole intrinsics (reference FrameIntrinsic,
+    dataset/production/__init__.py:4-17)."""
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    dcam_scale: float = 1000.0
+
+    def to_K(self) -> np.ndarray:
+        return np.array([[self.fx, 0.0, self.cx],
+                         [0.0, self.fy, self.cy],
+                         [0.0, 0.0, 1.0]])
+
+    def scaled(self, s: float) -> "Intrinsic":
+        return Intrinsic(self.fx * s, self.fy * s, self.cx * s, self.cy * s,
+                         self.dcam_scale)
+
+
+# ---------------------------------------------------------------------------
+# Unprojection & depth filtering
+# ---------------------------------------------------------------------------
+
+
+def unproject_depth(depth: jnp.ndarray, valid: jnp.ndarray,
+                    fx: float, fy: float, cx: float, cy: float
+                    ) -> jnp.ndarray:
+    """(H, W) depth -> (H, W, 3) camera-space point map (imgproc.cu:5-23).
+    Invalid pixels produce zeros; carry ``valid`` alongside."""
+    h, w = depth.shape
+    u = jnp.arange(w, dtype=depth.dtype)[None, :]
+    v = jnp.arange(h, dtype=depth.dtype)[:, None]
+    d = jnp.where(valid, depth, 0.0)
+    return jnp.stack([(u - cx) / fx * d, (v - cy) / fy * d, d], axis=-1)
+
+
+_MEAN_SIGMA_L = 1.2232
+
+
+def filter_depth(depth: jnp.ndarray, valid: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """5x5 depth-adaptive bilateral filter (imgproc.cu:49-94): spatial weight
+    exp(-.5 (|i|+|j|) sigma_L^2), range weight exp(-.5 dz^2 sigma_z^2) with the
+    sensor-noise model sigma_z(z).  Border (2 px) and invalid pixels pass
+    through unchanged."""
+    z = jnp.where(valid, depth, 0.0)
+    sigma_z = 1.0 / (0.0012 + 0.0019 * (z - 0.4) ** 2 + 0.0001 / jnp.sqrt(jnp.maximum(z, 1e-12)) * 0.25)
+
+    w_sum = jnp.zeros_like(z)
+    d_sum = jnp.zeros_like(z)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            nn_z = jnp.roll(z, (-i, -j), axis=(0, 1))
+            nn_ok = jnp.roll(valid, (-i, -j), axis=(0, 1))
+            dz2 = (nn_z - z) ** 2
+            w = jnp.exp(-0.5 * ((abs(i) + abs(j)) * _MEAN_SIGMA_L ** 2 + dz2 * sigma_z ** 2))
+            w = jnp.where(nn_ok, w, 0.0)
+            w_sum += w
+            d_sum += w * nn_z
+    out = d_sum / jnp.maximum(w_sum, 1e-12)
+
+    h, w = depth.shape
+    u = jnp.arange(w)[None, :]
+    v = jnp.arange(h)[:, None]
+    interior = (v >= 2) & (v < h - 2) & (u >= 2) & (u < w - 2)
+    ok = valid & interior & (w_sum > 0)
+    return jnp.where(ok, out, depth), valid
+
+
+# ---------------------------------------------------------------------------
+# Normals
+# ---------------------------------------------------------------------------
+
+
+def _sensor_weight(z: jnp.ndarray, normal_z: jnp.ndarray) -> jnp.ndarray:
+    """Sensor-noise weight model (imgproc.cu:133-135): 1/w where w grows with
+    depth and grazing angle theta = acos(n_z)."""
+    theta = jnp.arccos(jnp.clip(normal_z, -1.0, 1.0))
+    theta_diff = theta / (0.5 * 3.14159 - theta)
+    w = (0.0012 + 0.0019 * (z - 0.4) ** 2
+         + 0.0001 / jnp.sqrt(jnp.maximum(z, 1e-12)) * theta_diff ** 2)
+    return 1.0 / w
+
+
+def compute_normal_weight(pc_map: jnp.ndarray, valid: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Central-difference cross-product normals + sensor weight
+    (imgproc.cu:98-137).  Returns (normal (H,W,3), weight (H,W), ok (H,W))."""
+    h, w, _ = pc_map.shape
+
+    def shift(a, dv, du):
+        return jnp.roll(a, (-dv, -du), axis=(0, 1))
+
+    xp1 = shift(pc_map, 0, 1)
+    xm1 = shift(pc_map, 0, -1)
+    yp1 = shift(pc_map, 1, 0)
+    ym1 = shift(pc_map, -1, 0)
+    nb_ok = (shift(valid, 0, 1) & shift(valid, 0, -1)
+             & shift(valid, 1, 0) & shift(valid, -1, 0))
+
+    diff_x = xp1 - xm1
+    diff_y = yp1 - ym1
+    normal = jnp.cross(diff_y, diff_x)
+    norm = jnp.linalg.norm(normal, axis=-1)
+    normal = normal / jnp.maximum(norm, 1e-12)[..., None]
+
+    u = jnp.arange(w)[None, :]
+    v = jnp.arange(h)[:, None]
+    interior = (v >= 1) & (v < h - 1) & (u >= 1) & (u < w - 1)
+    ok = valid & nb_ok & interior & (norm >= 1e-6) & (pc_map[..., 2] > 1e-6)
+    weight = _sensor_weight(pc_map[..., 2], normal[..., 2])
+    return normal, jnp.where(ok, weight, -1.0), ok
+
+
+def sym3eig_smallest(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form smallest eigenpair of batched symmetric 3x3 matrices
+    (branchless port of the trigonometric ``sym3eig``, imgproc.cu:164-243 /
+    pcproc.cu:22-98).  cov: (..., 3, 3) -> (eigvec (..., 3), eigval (...,))."""
+    x11, x12, x13 = cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2]
+    x22, x23, x33 = cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]
+    x21, x31, x32 = cov[..., 1, 0], cov[..., 2, 0], cov[..., 2, 1]
+
+    p1 = x12 ** 2 + x13 ** 2 + x23 ** 2
+    q = (x11 + x22 + x33) / 3.0
+    p2 = (x11 - q) ** 2 + (x22 - q) ** 2 + (x33 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30) / 6.0)
+    ip = 1.0 / p
+    b11, b12, b13 = ip * (x11 - q), ip * x12, ip * x13
+    b21, b22, b23 = ip * x21, ip * (x22 - q), ip * x23
+    b31, b32, b33 = ip * x31, ip * x32, ip * (x33 - q)
+    r = (b11 * b22 * b33 + b12 * b23 * b31 + b13 * b21 * b32
+         - b13 * b22 * b31 - b12 * b21 * b33 - b11 * b23 * b32) / 2.0
+    phi = jnp.arccos(jnp.clip(r, -1.0, 1.0)) / 3.0
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+
+    # eigenvector: largest cross product of rows of (A - lam I)
+    a1 = jnp.stack([x11 - lam, x12, x13], axis=-1)
+    a2 = jnp.stack([x21, x22 - lam, x23], axis=-1)
+    a3 = jnp.stack([x31, x32, x33 - lam], axis=-1)
+    r12 = jnp.cross(a1, a2)
+    r13 = jnp.cross(a1, a3)
+    r23 = jnp.cross(a2, a3)
+    d1 = jnp.sum(r12 ** 2, axis=-1)
+    d2 = jnp.sum(r13 ** 2, axis=-1)
+    d3 = jnp.sum(r23 ** 2, axis=-1)
+    d = jnp.stack([d1, d2, d3], axis=-1)
+    vecs = jnp.stack([r12, r13, r23], axis=-2)      # (..., 3, 3)
+    i_max = jnp.argmax(d, axis=-1)
+    best = jnp.take_along_axis(vecs, i_max[..., None, None], axis=-2)[..., 0, :]
+    d_max = jnp.take_along_axis(d, i_max[..., None], axis=-1)[..., 0]
+    vec = best / jnp.sqrt(jnp.maximum(d_max, 1e-30))[..., None]
+    return vec, lam
+
+
+def compute_normal_weight_robust(pc_map: jnp.ndarray, valid: jnp.ndarray,
+                                 radius: int = 3, dist2_th: float = 0.01,
+                                 min_count: float = 9.0
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Windowed-PCA normals (imgproc.cu:246-331): mean/covariance over a
+    (2*radius+1)^2 window restricted to points within sqrt(dist2_th) of the
+    center, closed-form smallest eigenvector, flip towards the camera."""
+    h, w, _ = pc_map.shape
+    z_ok = valid & (pc_map[..., 2] > 1e-6)
+    p = jnp.where(z_ok[..., None], pc_map, 0.0)
+
+    def neighbor(dv, du):
+        pos = jnp.roll(p, (-dv, -du), axis=(0, 1))
+        ok = jnp.roll(z_ok, (-dv, -du), axis=(0, 1))
+        near = ok & (jnp.sum((pos - pc_map) ** 2, axis=-1) < dist2_th)
+        return pos, near.astype(p.dtype)
+
+    window = [(dv, du) for dv in range(-radius, radius + 1)
+              for du in range(-radius, radius + 1)]
+    s = jnp.zeros_like(p)
+    cnt = jnp.zeros(p.shape[:2], p.dtype)
+    for dv, du in window:
+        pos, wgt = neighbor(dv, du)
+        s += pos * wgt[..., None]
+        cnt += wgt
+    mean = s / jnp.maximum(cnt, 1.0)[..., None]
+
+    cov = jnp.zeros(p.shape[:2] + (3, 3), p.dtype)
+    for dv, du in window:
+        pos, wgt = neighbor(dv, du)
+        d = (pos - mean) * wgt[..., None]
+        cov = cov + d[..., :, None] * (pos - mean)[..., None, :]
+
+    normal, _ = sym3eig_smallest(cov)
+    flip = jnp.sum(normal * pc_map, axis=-1) > 0.0
+    normal = jnp.where(flip[..., None], -normal, normal)
+
+    u = jnp.arange(w)[None, :]
+    v = jnp.arange(h)[:, None]
+    interior = (v >= radius) & (v < h - radius) & (u >= radius) & (u < w - radius)
+    ok = z_ok & interior & (cnt >= min_count)
+    weight = _sensor_weight(pc_map[..., 2], normal[..., 2])
+    return normal, jnp.where(ok, weight, -1.0), ok
+
+
+# ---------------------------------------------------------------------------
+# Intensity gradients & photometric odometry
+# ---------------------------------------------------------------------------
+
+
+def gradient_xy(intensity: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sobel gradients /8 with invalid 1-px border (photometric.cu:3-22).
+    Returns (grad (H,W,2) [d/du, d/dv], ok (H,W))."""
+    h, w = intensity.shape
+
+    def sh(dv, du):
+        return jnp.roll(intensity, (-dv, -du), axis=(0, 1))
+
+    gx = ((sh(-1, 1) - sh(-1, -1)) + 2.0 * (sh(0, 1) - sh(0, -1)) + (sh(1, 1) - sh(1, -1))) / 8.0
+    gy = ((sh(1, -1) - sh(-1, -1)) + 2.0 * (sh(1, 0) - sh(-1, 0)) + (sh(1, 1) - sh(-1, 1))) / 8.0
+    u = jnp.arange(w)[None, :]
+    v = jnp.arange(h)[:, None]
+    ok = (v >= 1) & (v < h - 1) & (u >= 1) & (u < w - 1)
+    grad = jnp.stack([jnp.where(ok, gx, 0.0), jnp.where(ok, gy, 0.0)], axis=-1)
+    return grad, ok
+
+
+def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
+                 prev_depth_ok: jnp.ndarray,
+                 cur_intensity: jnp.ndarray, cur_depth: jnp.ndarray,
+                 cur_depth_ok: jnp.ndarray,
+                 cur_dIdxy: jnp.ndarray, grad_ok: jnp.ndarray,
+                 intr: jnp.ndarray, krkinv: jnp.ndarray, kt: jnp.ndarray,
+                 min_grad_scale: float, max_depth_delta: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-pixel photometric residual + analytic 6-DoF Jacobian
+    (photometric.cu:24-77).  Warps the *current* pixel into the previous frame
+    with ``K R K^-1`` / ``K t`` and round-to-nearest lookup.
+
+    Returns (f (H,W), J (H,W,6), ok (H,W)).  ``intr`` = [fx, fy, cx, cy];
+    the emitted J is for ``+xi`` on the current pose (the CUDA kernel computes
+    the ``-xi`` gradient which the tracker negates, tracker.py:157 -- here the
+    negation is folded in).
+    """
+    h, w = cur_intensity.shape
+    u = jnp.arange(w, dtype=cur_depth.dtype)[None, :]
+    v = jnp.arange(h, dtype=cur_depth.dtype)[:, None]
+
+    dI_dx = cur_dIdxy[..., 0]
+    dI_dy = cur_dIdxy[..., 1]
+    m2 = dI_dx ** 2 + dI_dy ** 2
+    ok = grad_ok & (m2 >= min_grad_scale) & cur_depth_ok
+
+    d1 = jnp.where(cur_depth_ok, cur_depth, 0.0)
+    wz = d1 * (krkinv[2, 0] * u + krkinv[2, 1] * v + krkinv[2, 2]) + kt[2]
+    wz_safe = jnp.where(jnp.abs(wz) > 1e-12, wz, 1.0)
+    u0f = (d1 * (krkinv[0, 0] * u + krkinv[0, 1] * v + krkinv[0, 2]) + kt[0]) / wz_safe
+    v0f = (d1 * (krkinv[1, 0] * u + krkinv[1, 1] * v + krkinv[1, 2]) + kt[1]) / wz_safe
+    u0 = jnp.round(u0f).astype(jnp.int32)
+    v0 = jnp.round(v0f).astype(jnp.int32)
+    inside = (u0 >= 0) & (u0 < w) & (v0 >= 0) & (v0 < h)
+    u0c = jnp.clip(u0, 0, w - 1)
+    v0c = jnp.clip(v0, 0, h - 1)
+
+    d0 = prev_depth[v0c, u0c]
+    d0_ok = prev_depth_ok[v0c, u0c]
+    ok = ok & inside & d0_ok & (jnp.abs(wz - d0) <= max_depth_delta) & (d0 > 0.0)
+
+    f = cur_intensity - prev_intensity[v0c, u0c]
+    f = jnp.where(ok, f, 0.0)
+
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    gz = jnp.where(d0 > 1e-12, d0, 1.0)
+    gx = d0 * (u0c.astype(d1.dtype) - cx) / fx
+    gy = d0 * (v0c.astype(d1.dtype) - cy) / fy
+    p0 = dI_dx * fx / gz
+    p1 = dI_dy * fy / gz
+    p2 = -(p0 * gx + p1 * gy) / gz
+    J = jnp.stack([p0, p1, p2,
+                   -gz * p1 + gy * p2,
+                   gz * p0 - gx * p2,
+                   -gy * p0 + gx * p1], axis=-1)
+    J = jnp.where(ok[..., None], -J, 0.0)   # tracker-side negation folded in
+    return f, J, ok
+
+
+# ---------------------------------------------------------------------------
+# Image pyramid (torch-interpolate-compatible /2 resizes)
+# ---------------------------------------------------------------------------
+
+
+def half_bilinear(img: jnp.ndarray) -> jnp.ndarray:
+    """Factor-2 bilinear downsample, torch ``interpolate(..., 'bilinear')``
+    semantics (align_corners=False): exactly 2x2 average pooling for even
+    input sizes (tracker.py:48-52)."""
+    h, w = img.shape
+    return img[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def half_nearest(img: jnp.ndarray) -> jnp.ndarray:
+    """Factor-2 nearest downsample, torch semantics: src = floor(2*dst)."""
+    return img[::2, ::2]
+
+
+def masked_half_bilinear(img: jnp.ndarray, ok: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear /2 where invalid pixels are excluded from the average (the
+    reference feeds NaN depth through bilinear and lives with NaN poisoning of
+    intensity never happening because intensity has no NaNs; we keep intensity
+    dense and track depth validity explicitly)."""
+    h, w = img.shape
+    i4 = jnp.where(ok, img, 0.0)[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2)
+    o4 = ok[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2)
+    cnt = o4.sum(axis=(1, 3))
+    return i4.sum(axis=(1, 3)) / jnp.maximum(cnt, 1), cnt > 0
+
+
+class Pyramid(NamedTuple):
+    """3-level intensity/depth/gradient pyramid (tracker.py:41-56)."""
+    intensity: Tuple[jnp.ndarray, ...]
+    depth: Tuple[jnp.ndarray, ...]
+    depth_ok: Tuple[jnp.ndarray, ...]
+    grad: Tuple[jnp.ndarray, ...]
+    grad_ok: Tuple[jnp.ndarray, ...]
+
+
+def make_image_pyramid(intensity: jnp.ndarray, depth: jnp.ndarray,
+                       depth_ok: jnp.ndarray, levels: int = 3) -> Pyramid:
+    ints, deps, oks, grads, goks = [intensity], [depth], [depth_ok], [], []
+    for _ in range(levels - 1):
+        ints.append(half_bilinear(ints[-1]))
+        deps.append(half_nearest(deps[-1]))
+        oks.append(half_nearest(oks[-1]))
+    for lvl in range(levels):
+        g, gok = gradient_xy(ints[lvl])
+        grads.append(g)
+        goks.append(gok)
+    return Pyramid(tuple(ints), tuple(deps), tuple(oks), tuple(grads), tuple(goks))

@@ -1,0 +1,186 @@
+"""Point-cloud ops: fixed-radius neighbor queries, outlier removal, PCA
+normal estimation, and voxel box filtering.
+
+Capability parity with the reference pcproc extension
+(pytorch/system/ext/pcproc/pcproc.cu + cuda_kdtree.cu) and the tracker's
+``point_box_filter`` (pytorch/system/tracker.py:13-23), redesigned for TPU:
+
+* The GPU kd-tree (cuda_kdtree.cu, 1349 LoC of FLANN) is **replaced by a
+  sorted spatial grid**: the tracker and sampler only ever need fixed-radius
+  neighbors, and a uniform grid with cell size = radius answers those with
+  27 contiguous gathers -- sort + searchsorted instead of tree build +
+  traversal, all static-shape and jittable.
+* ``torch.unique``-based voxel downsampling becomes a sort + prefix-sum
+  segment mean: segment ids come out prefix-packed, so compaction to a fixed
+  output budget is a slice, not a host sync.
+
+Neighbor search is exact up to two documented caps: at most ``cell_cap``
+candidates are scanned per grid cell and at most 27 cells per query; points
+beyond the cap are ignored (the reference's FLANN kNN is similarly
+approximate under its ``checks`` budget).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .imgproc import sym3eig_smallest
+
+_HASH_PRIMES = np.array([73856093, 19349663, 83492791], dtype=np.uint32)
+
+
+class NeighborGrid(NamedTuple):
+    """Sorted spatial grid over a fixed-size point set."""
+    points: jnp.ndarray        # (N, 3) f32
+    valid: jnp.ndarray         # (N,) bool
+    cell: jnp.ndarray          # (N, 3) int32 cell coords of each point
+    order: jnp.ndarray         # (N,) int32 point index sorted by cell hash
+    sorted_hash: jnp.ndarray   # (N,) uint32 hash per sorted point
+    cell_size: float
+
+
+def _hash_cells(cell: jnp.ndarray) -> jnp.ndarray:
+    c = cell.astype(jnp.uint32)
+    h = (c[..., 0] * _HASH_PRIMES[0]) ^ (c[..., 1] * _HASH_PRIMES[1]) \
+        ^ (c[..., 2] * _HASH_PRIMES[2])
+    return h
+
+
+def build_grid(points: jnp.ndarray, valid: jnp.ndarray, cell_size: float) -> NeighborGrid:
+    cell = jnp.floor(points / cell_size).astype(jnp.int32)
+    h = _hash_cells(cell)
+    # invalid points sort to the end (max hash) and are skipped by the
+    # per-candidate validity check
+    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(h).astype(jnp.int32)
+    return NeighborGrid(points=points, valid=valid, cell=cell, order=order,
+                        sorted_hash=h[order], cell_size=float(cell_size))
+
+
+_NEIGHBOR_CELLS = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+                           dtype=np.int32)  # (27, 3)
+
+
+def radius_neighbors(grid: NeighborGrid, queries: jnp.ndarray,
+                     q_valid: jnp.ndarray, radius: float,
+                     cell_cap: int = 16, exclude_self_index: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All grid points within ``radius`` of each query, capped at
+    27*cell_cap candidates.  Returns (idx (Q, 27*cell_cap) int32 into the grid
+    point array, ok (Q, 27*cell_cap) bool).
+
+    ``exclude_self_index`` drops the candidate whose index equals the query's
+    position (for self-queries; reference estimate_normal skips nn_i == 0,
+    pcproc.cu:115)."""
+    q_cell = jnp.floor(queries / grid.cell_size).astype(jnp.int32)   # (Q, 3)
+    nb_cell = q_cell[:, None, :] + jnp.asarray(_NEIGHBOR_CELLS)[None]  # (Q, 27, 3)
+    nb_hash = _hash_cells(nb_cell)                                    # (Q, 27)
+    start = jnp.searchsorted(grid.sorted_hash, nb_hash.reshape(-1)).reshape(nb_hash.shape)
+
+    n = grid.points.shape[0]
+    k = jnp.arange(cell_cap, dtype=jnp.int32)
+    slot = jnp.clip(start[..., None] + k, 0, n - 1)                   # (Q, 27, C)
+    cand = grid.order[slot]                                           # (Q, 27, C)
+    cand_hash_ok = grid.sorted_hash[slot] == nb_hash[..., None]
+    # exact cell check: hash collisions inside the scanned run are rejected
+    cand_cell_ok = jnp.all(grid.cell[cand] == nb_cell[..., None, :], axis=-1)
+    ok = cand_hash_ok & cand_cell_ok & grid.valid[cand] & q_valid[:, None, None]
+
+    d2 = jnp.sum((grid.points[cand] - queries[:, None, None, :]) ** 2, axis=-1)
+    ok = ok & (d2 <= radius * radius)
+    if exclude_self_index:
+        q_idx = jnp.arange(queries.shape[0], dtype=jnp.int32)
+        ok = ok & (cand != q_idx[:, None, None])
+    qc = queries.shape[0]
+    return cand.reshape(qc, -1), ok.reshape(qc, -1)
+
+
+def remove_radius_outlier(points: jnp.ndarray, valid: jnp.ndarray,
+                          nb_points: int = 16, radius: float = 0.05,
+                          cell_cap: int = 16) -> jnp.ndarray:
+    """Keep points with >= nb_points neighbors (self included) within radius
+    (reference remove_radius_outlier, pcproc.cu:160-187: the (nb_points-1)-th
+    kNN distance must be < radius)."""
+    grid = build_grid(points, valid, radius)
+    _, ok = radius_neighbors(grid, points, valid, radius, cell_cap)
+    count = ok.sum(axis=-1)
+    return valid & (count >= nb_points)
+
+
+def estimate_normals(points: jnp.ndarray, valid: jnp.ndarray,
+                     max_nn: int = 16, radius: float = 0.1,
+                     cam_xyz=(0.0, 0.0, 0.0), cell_cap: int = 16
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PCA normals from radius neighbors with camera-facing flip (reference
+    estimate_normals, pcproc.cu:107-158,189-210).  Neighbors beyond ``max_nn``
+    tighten the estimate rather than being truncated (the kNN cap in the
+    reference exists only to bound the FLANN buffer).  Requires >= 5 neighbors
+    (self excluded) like the reference; returns (normal (N, 3), ok (N,))."""
+    grid = build_grid(points, valid, radius)
+    idx, ok = radius_neighbors(grid, points, valid, radius, cell_cap,
+                               exclude_self_index=True)
+    w = ok.astype(points.dtype)                                  # (N, K)
+    cnt = w.sum(axis=-1)
+    nb = points[idx]                                             # (N, K, 3)
+    mean = jnp.sum(nb * w[..., None], axis=1) / jnp.maximum(cnt, 1.0)[:, None]
+    d = (nb - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nka,nkb->nab", d, nb - mean[:, None, :])
+    normal, _ = sym3eig_smallest(cov)
+    to_cam = points - jnp.asarray(cam_xyz, points.dtype)[None]
+    flip = jnp.sum(normal * to_cam, axis=-1) > 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    return normal, valid & (cnt >= 5.0)
+
+
+# ---------------------------------------------------------------------------
+# Voxel box filter (tracker.py:13-23) + compaction
+# ---------------------------------------------------------------------------
+
+
+def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
+                     valid: jnp.ndarray, voxel_size: float,
+                     out_budget: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Voxel-mean downsample: average points/normals per occupied voxel
+    (reference point_box_filter).  Sort-based exact unique; segment ids are
+    prefix-packed so the first ``out_budget`` segments are the output.
+    Returns (points (M, 3), normals (M, 3), ok (M,))."""
+    n = points.shape[0]
+    ref = jnp.floor(points / voxel_size).astype(jnp.int32)
+    # order-preserving key: pack 3x ~20-bit offsets (bounded scenes) into i64
+    # is unavailable (no x64) -- use a collision-checked sort on the hash plus
+    # the coords as tiebreaker via lexsort over two keys
+    h = _hash_cells(ref)
+    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
+    order = jnp.lexsort((ref[:, 2], ref[:, 1], ref[:, 0], h))
+    h_s = h[order]
+    ref_s = ref[order]
+    same = (h_s == jnp.roll(h_s, 1)) & jnp.all(ref_s == jnp.roll(ref_s, 1, axis=0), axis=1)
+    seg_start = ~same
+    seg_start = seg_start.at[0].set(True)
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1             # (N,)
+
+    p_s = points[order]
+    n_s = normals[order]
+    v_s = valid[order].astype(points.dtype)
+    sums_p = jax.ops.segment_sum(p_s * v_s[:, None], seg_id, num_segments=n)
+    sums_n = jax.ops.segment_sum(n_s * v_s[:, None], seg_id, num_segments=n)
+    cnts = jax.ops.segment_sum(v_s, seg_id, num_segments=n)
+    mean_p = sums_p / jnp.maximum(cnts, 1.0)[:, None]
+    mean_n = sums_n / jnp.maximum(cnts, 1.0)[:, None]
+    ok = cnts > 0
+    return mean_p[:out_budget], mean_n[:out_budget], ok[:out_budget]
+
+
+def compact(valid: jnp.ndarray, budget: int, *arrays: jnp.ndarray):
+    """Move valid rows to the front (stable) and slice to ``budget``.
+    Returns (mask (budget,), *arrays[:budget]).  The jit-safe replacement for
+    the reference's boolean-mask compaction idiom."""
+    order = jnp.argsort(~valid)       # stable: valid (False) keys first
+    mask = valid[order][:budget]
+    out = tuple(a[order][:budget] for a in arrays)
+    return (mask,) + out
