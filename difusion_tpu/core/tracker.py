@@ -1,0 +1,382 @@
+"""SDF + photometric camera tracker.
+
+Capability parity with the reference ``SDFTracker``
+(pytorch/system/tracker.py:26-283): 3-level image pyramid, point-cloud
+preprocessing (outlier removal, normal estimation, voxel box filter),
+Gauss-Newton over se(3) with an SDF term (autograd through the decoder) and an
+RGB photometric term, Huber robust weighting, energy-increase step rejection,
+and the divergence fallback that clamps the RGB weight back up.
+
+TPU-first redesign (SURVEY.md section 7):
+
+* The whole per-frame track step is **one jitted function**: the GN loop is a
+  ``lax.while_loop`` with energy rejection carried in state, and the 6x6
+  normal-equation solve runs on device in f32 with Jacobi preconditioning --
+  the reference pays a device->host sync per iteration
+  (tracker.py:170,218,272); we pay none.
+* Neighbor queries ride the depth-image structure: radius outlier removal and
+  PCA normals are window stencils over the subsampled point map (the kd-tree
+  of pcproc.cu answers the same fixed-radius queries, SURVEY.md section 7).
+* Pyramid warps scale the intrinsics per level (the reference reuses full-res
+  K at all levels, tracker.py:133-136 -- a small inconsistency we do not
+  reproduce; level 0, which dominates, is identical).
+* The SDF Jacobian comes from one vjp through the decoder w.r.t. the
+  delta-posed points y: with the left-multiplied update
+  ``delta <- exp(xi) o delta`` the twist Jacobian is ``[G | y x G]`` for
+  ``G = dr/dy`` (tracker.py:191-201 builds the same structure by hand).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import DecoderSpec
+from ..ops import imgproc
+from ..ops.imgproc import Intrinsic, Pyramid
+from ..ops.pcproc import point_box_filter
+from ..ops.se3 import Pose, exp_twist
+from ..utils.motion import Isometry
+from . import map as M
+
+
+class TrackerConfig(NamedTuple):
+    """Static tracker configuration (hashable -> jit static).  Defaults match
+    configs/fusion-lr-kt.yaml:38-56."""
+    iter_config: Tuple[Tuple[int, Tuple[Tuple, ...]], ...] = (
+        (10, (("rgb", 2),)),
+        (10, (("sdf",), ("rgb", 1))),
+        (50, (("sdf",), ("rgb", 0))),
+    )
+    sdf_robust_k: float = 5.0
+    subsample: float = 0.5
+    rgb_weight: float = 500.0
+    rgb_robust_k: float = 0.0        # <= 0: no robust kernel (yaml: null)
+    min_grad_scale: float = 0.0
+    max_depth_delta: float = 0.2
+    point_budget: int = 1 << 14
+    outlier_nb: int = 16
+    outlier_radius: float = 0.05
+    normal_radius: float = 0.1
+    stencil_window: int = 6
+    box_filter_size: float = 0.02
+    pyramid_levels: int = 3
+
+    @classmethod
+    def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
+        """Build from a reference-style tracking config namespace."""
+        iter_config = tuple(
+            (int(g["n"]), tuple(tuple(t) for t in g["type"]))
+            for g in args.iter_config)
+        sdf = args.sdf if isinstance(args.sdf, dict) else vars(args.sdf)
+        rgb = args.rgb if isinstance(args.rgb, dict) else vars(args.rgb)
+        return cls(
+            iter_config=iter_config,
+            sdf_robust_k=float(sdf.get("robust_k", 5.0)),
+            subsample=float(sdf.get("subsample", 0.5)),
+            rgb_weight=float(rgb.get("weight", 500.0)),
+            rgb_robust_k=float(rgb.get("robust_k", 0.0)) if rgb.get("robust_kernel") else 0.0,
+            min_grad_scale=float(rgb.get("min_grad_scale", 0.0)),
+            max_depth_delta=float(rgb.get("max_depth_delta", 0.2)),
+            point_budget=point_budget,
+        )
+
+
+class ProcessedFrame(NamedTuple):
+    """Device-resident per-frame products of :func:`preprocess_frame`."""
+    pyramid: Pyramid
+    pts_cam: jnp.ndarray      # (M, 3) camera-space box-filtered points
+    normals_cam: jnp.ndarray  # (M, 3)
+    pc_mask: jnp.ndarray      # (M,) bool
+
+
+# ---------------------------------------------------------------------------
+# Frame preprocessing (tracker.py:74-117)
+# ---------------------------------------------------------------------------
+
+
+def _window_outlier_ok(pc_map: jnp.ndarray, valid: jnp.ndarray,
+                       nb_points: int, radius: float, window: int) -> jnp.ndarray:
+    """Radius outlier test as an image-window stencil: a pixel survives if at
+    least ``nb_points`` pixels (self included) in the (2w+1)^2 window lie
+    within ``radius`` (reference remove_radius_outlier semantics over the
+    depth-image point set, pcproc.cu:160-187)."""
+    r2 = radius * radius
+    offsets = jnp.asarray([(dv, du) for dv in range(-window, window + 1)
+                           for du in range(-window, window + 1)], jnp.int32)
+
+    def body(count, off):
+        pos = jnp.roll(pc_map, (-off[0], -off[1]), axis=(0, 1))
+        ok = jnp.roll(valid, (-off[0], -off[1]), axis=(0, 1))
+        d2 = jnp.sum((pos - pc_map) ** 2, axis=-1)
+        return count + (ok & (d2 <= r2)).astype(jnp.int32), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros(pc_map.shape[:2], jnp.int32), offsets)
+    return valid & (count >= nb_points)
+
+
+@partial(jax.jit, static_argnames=("tcfg", "calib"))
+def preprocess_frame(tcfg: TrackerConfig, calib: Intrinsic,
+                     rgb: jnp.ndarray, depth: jnp.ndarray,
+                     depth_ok: jnp.ndarray) -> ProcessedFrame:
+    """Intensity pyramid + camera-space point cloud with normals.
+
+    rgb (H, W, 3) in [0, 1]; depth (H, W) metric with ``depth_ok`` validity
+    (the caller applies the depth cut, reference main.py:67-68).
+    """
+    intensity = jnp.mean(rgb, axis=-1)
+    pyramid = imgproc.make_image_pyramid(intensity, depth, depth_ok,
+                                         tcfg.pyramid_levels)
+
+    # subsample (nearest, torch scale_factor semantics) + unproject
+    stride = int(round(1.0 / tcfg.subsample))
+    d_sub = depth[::stride, ::stride]
+    ok_sub = depth_ok[::stride, ::stride]
+    sc = tcfg.subsample
+    pc_map = imgproc.unproject_depth(d_sub, ok_sub, calib.fx * sc, calib.fy * sc,
+                                     calib.cx * sc, calib.cy * sc)
+
+    ok_sub = _window_outlier_ok(pc_map, ok_sub, tcfg.outlier_nb,
+                                tcfg.outlier_radius, tcfg.stencil_window)
+    normals, _, n_ok = imgproc.compute_normal_weight_robust(
+        pc_map, ok_sub, radius=tcfg.stencil_window,
+        dist2_th=tcfg.normal_radius ** 2, min_count=6.0)
+    ok_sub = ok_sub & n_ok
+
+    pts = pc_map.reshape(-1, 3)
+    nrm = normals.reshape(-1, 3)
+    mask = ok_sub.reshape(-1)
+    pts_f, nrm_f, mask_f = point_box_filter(pts, nrm, mask, tcfg.box_filter_size,
+                                            tcfg.point_budget)
+    return ProcessedFrame(pyramid=pyramid, pts_cam=pts_f, normals_cam=nrm_f,
+                          pc_mask=mask_f)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton terms
+# ---------------------------------------------------------------------------
+
+
+def _huber(x: jnp.ndarray, k: float) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax > k, k / jnp.maximum(ax, 1e-12), 1.0)
+
+
+def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
+              state: M.MapState, last: Pose, delta: Pose,
+              pts: jnp.ndarray, mask: jnp.ndarray, robust_k: float):
+    """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
+    (reference compute_sdf_Hg, tracker.py:174-218)."""
+    y = delta.apply(pts)
+
+    def residual(y_pts):
+        x = last.apply(y_pts)
+        sdf, std, valid = M.query_sdf(map_cfg, dec_params, spec, state, x)
+        return sdf / jax.lax.stop_gradient(std), valid
+
+    r, vjp_fn, valid = jax.vjp(residual, y, has_aux=True)
+    (G,) = vjp_fn(jnp.ones_like(r))                       # (N, 3) dr/dy
+
+    ok = mask & valid
+    r = jnp.where(ok, r, 0.0)
+    G = jnp.where(ok[:, None], G, 0.0)
+    J = jnp.concatenate([G, jnp.cross(y, G)], axis=-1)    # (N, 6)
+
+    w = _huber(r, robust_k) if robust_k > 0 else jnp.ones_like(r)
+    w = jnp.where(ok, w, 0.0)
+    scale = 1.0 / jnp.maximum(ok.sum(), 1).astype(r.dtype)
+    H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
+    g = jnp.sum(J * (w * r)[:, None], axis=0) * scale
+    energy = jnp.sum(w * r * r) * scale
+    return H, g, energy
+
+
+def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
+              prev: Pyramid, cur: Pyramid, delta: Pose,
+              rgb_weight: jnp.ndarray):
+    """Photometric residual over pyramid level ``level`` (reference
+    compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level."""
+    s = 0.5 ** level
+    fx, fy = calib.fx * s, calib.fy * s
+    cx, cy = (calib.cx + 0.5) * s - 0.5, (calib.cy + 0.5) * s - 0.5
+    K = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
+    Kinv = jnp.array([[1.0 / fx, 0.0, -cx / fx],
+                      [0.0, 1.0 / fy, -cy / fy],
+                      [0.0, 0.0, 1.0]])
+    krkinv = K @ delta.R @ Kinv
+    kt = K @ delta.t
+    intr = jnp.array([fx, fy, cx, cy])
+
+    f, J, ok = imgproc.rgb_odometry(
+        prev.intensity[level], prev.depth[level], prev.depth_ok[level],
+        cur.intensity[level], cur.depth[level], cur.depth_ok[level],
+        cur.grad[level], cur.grad_ok[level], intr, krkinv, kt,
+        tcfg.min_grad_scale, tcfg.max_depth_delta)
+
+    f = f.reshape(-1)
+    J = J.reshape(-1, 6)
+    okf = ok.reshape(-1)
+    w = _huber(f, tcfg.rgb_robust_k) if tcfg.rgb_robust_k > 0 else jnp.ones_like(f)
+    w = jnp.where(okf, w, 0.0)
+    scale = rgb_weight / jnp.maximum(okf.sum(), 1).astype(f.dtype)
+    H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
+    g = jnp.sum(J * (w * f)[:, None], axis=0) * scale
+    energy = jnp.sum(w * f * f) * scale
+    return H, g, energy
+
+
+def _solve_precond(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Jacobi-preconditioned 6x6 solve in f32 (replaces the reference's
+    float64 host solve, tracker.py:272)."""
+    d = jnp.sqrt(jnp.abs(jnp.diag(H)) + 1e-12)
+    Hn = H / (d[:, None] * d[None, :])
+    xi = jnp.linalg.solve(Hn + 1e-9 * jnp.eye(6, dtype=H.dtype), -g / d)
+    return xi / d
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton driver
+# ---------------------------------------------------------------------------
+
+
+class GNResult(NamedTuple):
+    delta_R: jnp.ndarray
+    delta_t: jnp.ndarray
+    final_energy: jnp.ndarray
+    last_group_iters: jnp.ndarray   # accepted updates in the final group
+
+
+@partial(jax.jit, static_argnames=("tcfg", "map_cfg", "spec", "calib"))
+def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
+                 calib: Intrinsic, dec_params, state: M.MapState,
+                 last_R: jnp.ndarray, last_t: jnp.ndarray,
+                 prev: Pyramid, cur: ProcessedFrame,
+                 rgb_weight: jnp.ndarray) -> GNResult:
+    """Run the grouped GN schedule (reference gauss_newton,
+    tracker.py:220-283): per group, iterate ``n`` updates + a final
+    evaluation-only pass, rejecting any step that raises the energy."""
+    last = Pose(last_R, last_t)
+
+    def eval_Hg(delta: Pose, terms):
+        H = jnp.zeros((6, 6), jnp.float32)
+        g = jnp.zeros(6, jnp.float32)
+        E = jnp.zeros((), jnp.float32)
+        for term in terms:
+            if term[0] == "sdf":
+                tH, tg, tE = _sdf_term(map_cfg, dec_params, spec, state, last,
+                                       delta, cur.pts_cam, cur.pc_mask,
+                                       tcfg.sdf_robust_k)
+            elif term[0] == "rgb":
+                tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
+                                       cur.pyramid, delta, rgb_weight)
+            else:
+                raise ValueError(f"unknown GN term {term!r}")
+            H, g, E = H + tH, g + tg, E + tE
+        return H, g, E
+
+    delta = Pose.identity()
+    n_accept_last = jnp.zeros((), jnp.int32)
+    energy = jnp.full((), jnp.inf, jnp.float32)
+
+    for group_idx, (n, terms) in enumerate(tcfg.iter_config):
+        def cond(carry):
+            i, _, _, _, _, _, done = carry
+            return (i <= n) & ~done
+
+        def body(carry):
+            i, dR, dt, bR, bt, bE, done = carry
+            d = Pose(dR, dt)
+            H, g, E = eval_Hg(d, terms)
+            worse = E > bE
+            accept = ~worse
+            bR2 = jnp.where(accept, dR, bR)
+            bt2 = jnp.where(accept, dt, bt)
+            bE2 = jnp.where(accept, E, bE)
+            xi = _solve_precond(H, g)
+            xi_ok = jnp.all(jnp.isfinite(xi))
+            upd = exp_twist(jnp.where(xi_ok, xi, jnp.zeros(6, xi.dtype)))
+            is_last = i == n
+            stepR = jnp.where(accept & ~is_last, upd.R @ dR, bR2)
+            stept = jnp.where(accept & ~is_last, upd.R @ dt + upd.t, bt2)
+            return (i + 1, stepR, stept, bR2, bt2, bE2, worse | is_last | ~xi_ok)
+
+        init = (jnp.zeros((), jnp.int32), delta.R, delta.t,
+                delta.R, delta.t, jnp.full((), jnp.inf, jnp.float32),
+                jnp.zeros((), bool))
+        i_end, _, _, bR, bt, bE, _ = jax.lax.while_loop(cond, body, init)
+        delta = Pose(bR, bt)
+        energy = bE
+        if group_idx == len(tcfg.iter_config) - 1:
+            # i_end counts evaluations; accepted updates = i_end - 1
+            n_accept_last = jnp.maximum(i_end - 1, 0)
+
+    return GNResult(delta_R=delta.R, delta_t=delta.t, final_energy=energy,
+                    last_group_iters=n_accept_last)
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracker (temporal state, divergence fallback)
+# ---------------------------------------------------------------------------
+
+
+class SDFTracker:
+    """Host wrapper mirroring the reference ``SDFTracker`` object model:
+    holds the previous frame's pyramid, the pose history, and the
+    ``n_unstable`` fallback (tracker.py:276-281)."""
+
+    def __init__(self, map_cfg: M.MapConfig, tcfg: TrackerConfig,
+                 dec_params: Dict[str, Any], spec: DecoderSpec,
+                 calib: Intrinsic):
+        self.map_cfg = map_cfg
+        self.tcfg = tcfg
+        self.dec_params = dec_params
+        self.spec = spec
+        self.calib = calib
+        self.all_pd_pose: list = []
+        self.last_pyramid: Optional[Pyramid] = None
+        self.last_processed: Optional[ProcessedFrame] = None
+        self.n_unstable = 0
+        self.rgb_weight = float(tcfg.rgb_weight)
+
+    def track_camera(self, state: M.MapState, rgb: jnp.ndarray,
+                     depth: jnp.ndarray, depth_ok: jnp.ndarray,
+                     set_pose: Optional[Isometry] = None) -> Isometry:
+        processed = preprocess_frame(self.tcfg, self.calib, rgb, depth, depth_ok)
+
+        if set_pose is not None:
+            final_pose = set_pose
+        else:
+            assert self.all_pd_pose, "first frame needs set_pose"
+            last = self.all_pd_pose[-1]
+            res = gauss_newton(
+                self.tcfg, self.map_cfg, self.spec, self.calib,
+                self.dec_params, state,
+                jnp.asarray(last.q.rotation_matrix.astype(np.float32)),
+                jnp.asarray(last.t.astype(np.float32)),
+                self.last_pyramid, processed,
+                jnp.asarray(self.rgb_weight, jnp.float32))
+            delta = Isometry.from_matrix(np.asarray(res.delta_R, np.float64),
+                                         np.asarray(res.delta_t, np.float64),
+                                         ortho=True)
+            final_pose = last.dot(delta)
+            if int(res.last_group_iters) >= 10:
+                self.n_unstable += 1
+                if self.n_unstable >= 3:
+                    self.rgb_weight = max(self.rgb_weight, 500.0)
+
+        self.last_pyramid = processed.pyramid
+        self.last_processed = processed
+        self.all_pd_pose.append(final_pose)
+        return final_pose
+
+    def last_pc_world(self, pose: Isometry
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """World-space (points, normals, mask) of the last processed frame
+        (reference main.py:83-85)."""
+        p = self.last_processed
+        R = jnp.asarray(pose.q.rotation_matrix.astype(np.float32))
+        t = jnp.asarray(pose.t.astype(np.float32))
+        return p.pts_cam @ R.T + t, p.normals_cam @ R.T, p.pc_mask

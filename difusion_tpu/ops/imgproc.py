@@ -185,27 +185,31 @@ def compute_normal_weight_robust(pc_map: jnp.ndarray, valid: jnp.ndarray,
     z_ok = valid & (pc_map[..., 2] > 1e-6)
     p = jnp.where(z_ok[..., None], pc_map, 0.0)
 
-    def neighbor(dv, du):
-        pos = jnp.roll(p, (-dv, -du), axis=(0, 1))
-        ok = jnp.roll(z_ok, (-dv, -du), axis=(0, 1))
+    # scan over window offsets (compiles one roll, not (2r+1)^2 of them)
+    window = jnp.asarray([(dv, du) for dv in range(-radius, radius + 1)
+                          for du in range(-radius, radius + 1)], jnp.int32)
+
+    def neighbor(off):
+        pos = jnp.roll(p, (-off[0], -off[1]), axis=(0, 1))
+        ok = jnp.roll(z_ok, (-off[0], -off[1]), axis=(0, 1))
         near = ok & (jnp.sum((pos - pc_map) ** 2, axis=-1) < dist2_th)
         return pos, near.astype(p.dtype)
 
-    window = [(dv, du) for dv in range(-radius, radius + 1)
-              for du in range(-radius, radius + 1)]
-    s = jnp.zeros_like(p)
-    cnt = jnp.zeros(p.shape[:2], p.dtype)
-    for dv, du in window:
-        pos, wgt = neighbor(dv, du)
-        s += pos * wgt[..., None]
-        cnt += wgt
+    def mean_body(carry, off):
+        s, cnt = carry
+        pos, wgt = neighbor(off)
+        return (s + pos * wgt[..., None], cnt + wgt), None
+
+    (s, cnt), _ = jax.lax.scan(mean_body, (jnp.zeros_like(p),
+                                           jnp.zeros(p.shape[:2], p.dtype)), window)
     mean = s / jnp.maximum(cnt, 1.0)[..., None]
 
-    cov = jnp.zeros(p.shape[:2] + (3, 3), p.dtype)
-    for dv, du in window:
-        pos, wgt = neighbor(dv, du)
+    def cov_body(cov, off):
+        pos, wgt = neighbor(off)
         d = (pos - mean) * wgt[..., None]
-        cov = cov + d[..., :, None] * (pos - mean)[..., None, :]
+        return cov + d[..., :, None] * (pos - mean)[..., None, :], None
+
+    cov, _ = jax.lax.scan(cov_body, jnp.zeros(p.shape[:2] + (3, 3), p.dtype), window)
 
     normal, _ = sym3eig_smallest(cov)
     flip = jnp.sum(normal * pc_map, axis=-1) > 0.0
@@ -247,16 +251,23 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
                  cur_depth_ok: jnp.ndarray,
                  cur_dIdxy: jnp.ndarray, grad_ok: jnp.ndarray,
                  intr: jnp.ndarray, krkinv: jnp.ndarray, kt: jnp.ndarray,
-                 min_grad_scale: float, max_depth_delta: float
+                 min_grad_scale: float, max_depth_delta: float,
+                 bilinear: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-pixel photometric residual + analytic 6-DoF Jacobian
     (photometric.cu:24-77).  Warps the *current* pixel into the previous frame
-    with ``K R K^-1`` / ``K t`` and round-to-nearest lookup.
+    with ``K R K^-1`` / ``K t``.
 
     Returns (f (H,W), J (H,W,6), ok (H,W)).  ``intr`` = [fx, fy, cx, cy];
     the emitted J is for ``+xi`` on the current pose (the CUDA kernel computes
     the ``-xi`` gradient which the tracker negates, tracker.py:157 -- here the
     negation is folded in).
+
+    ``bilinear=True`` samples the previous intensity bilinearly instead of the
+    reference's round-to-nearest (photometric.cu:53-55): sub-pixel smoothness
+    removes the quantization plateaus that stall Gauss-Newton near the optimum
+    (depth gating and Jacobian geometry stay nearest-neighbor like the
+    reference).  Pass ``bilinear=False`` for exact reference semantics.
     """
     h, w = cur_intensity.shape
     u = jnp.arange(w, dtype=cur_depth.dtype)[None, :]
@@ -282,7 +293,22 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
     d0_ok = prev_depth_ok[v0c, u0c]
     ok = ok & inside & d0_ok & (jnp.abs(wz - d0) <= max_depth_delta) & (d0 > 0.0)
 
-    f = cur_intensity - prev_intensity[v0c, u0c]
+    if bilinear:
+        u0a = jnp.clip(u0f, 0.0, w - 1.0)
+        v0a = jnp.clip(v0f, 0.0, h - 1.0)
+        uf = jnp.floor(u0a)
+        vf = jnp.floor(v0a)
+        au = u0a - uf
+        av = v0a - vf
+        ui = uf.astype(jnp.int32)
+        vi = vf.astype(jnp.int32)
+        ui1 = jnp.minimum(ui + 1, w - 1)
+        vi1 = jnp.minimum(vi + 1, h - 1)
+        prev_val = ((1 - av) * ((1 - au) * prev_intensity[vi, ui] + au * prev_intensity[vi, ui1])
+                    + av * ((1 - au) * prev_intensity[vi1, ui] + au * prev_intensity[vi1, ui1]))
+    else:
+        prev_val = prev_intensity[v0c, u0c]
+    f = cur_intensity - prev_val
     f = jnp.where(ok, f, 0.0)
 
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
