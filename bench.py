@@ -1,0 +1,73 @@
+"""Benchmark: online track+fuse throughput on a synthetic ICL-NUIM-shaped
+sequence (640x480 RGB-D, reference intrinsics), the BASELINE.json headline
+metric.  No dataset files are required: the analytic renderer drives the
+identical compute path (preprocess -> GN track -> encoder fusion).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the BASELINE north-star target of 30 fps
+track+fuse on one TPU chip.
+"""
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from difusion_tpu.utils.jaxtools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+    from difusion_tpu.core import map as M
+    from difusion_tpu.core.tracker import TrackerConfig
+    from difusion_tpu.data import SyntheticSequence
+    from difusion_tpu.ops.imgproc import Intrinsic
+    from difusion_tpu.slam import SLAMSystem
+
+    # prior: reference checkpoint when present, random init otherwise
+    # (throughput is parameter-value independent)
+    hyper = "/root/reference/pytorch/ckpt/default/hyper.json"
+    if os.path.exists(hyper):
+        from difusion_tpu.slam import load_prior
+        dec, enc, spec_d = load_prior(hyper, 300)
+    else:
+        import jax.numpy as jnp
+        from difusion_tpu.models.decoder import (DecoderSpec, fold_decoder_params,
+                                                 init_decoder_params)
+        from difusion_tpu.models.encoder import (EncoderSpec, fold_encoder_params,
+                                                 init_encoder_params)
+        spec_d = DecoderSpec()
+        dec = fold_decoder_params(init_decoder_params(spec_d, jax.random.key(0)))
+        enc = fold_encoder_params(init_encoder_params(EncoderSpec(), jax.random.key(1)))
+
+    calib = Intrinsic(481.2, 480.0, 319.5, 239.5, 5000.0)  # ICL-NUIM
+    seq = SyntheticSequence(n_frames=40, h=480, w=640, calib=calib,
+                            corrugation=0.1, motion_scale=0.5)
+    map_cfg = M.MapConfig(bound_min=(-3.5, -3.5, -0.5), n_xyz=(70, 70, 40),
+                          voxel_size=0.1, latent_dim=spec_d.latent_size,
+                          capacity=1 << 16, prune_min_vox_obs=16,
+                          ignore_count_th=16.0, encoder_count_th=600.0)
+    tcfg = TrackerConfig(point_budget=1 << 14)
+    system = SLAMSystem(map_cfg, tcfg, dec, enc, spec_d, calib,
+                        integrate_interval=20, depth_cut=(0.5, 5.0),
+                        meshing=False)
+
+    frames = [next(seq) for _ in range(len(seq))]
+    warmup = 4
+    for f in frames[:warmup]:
+        system.process_frame(f)
+    t0 = time.perf_counter()
+    for f in frames[warmup:]:
+        system.process_frame(f)
+    jax.block_until_ready(system.state.latents)
+    dt = time.perf_counter() - t0
+
+    fps = (len(frames) - warmup) / dt
+    print(json.dumps({"metric": "synthetic_icl_track_fuse_fps",
+                      "value": round(fps, 2), "unit": "frames/sec",
+                      "vs_baseline": round(fps / 30.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decoder import DecoderSpec, decode
-from ..ops.marching_cubes import marching_cubes_sparse
+from ..ops.marching_cubes import marching_cubes_sparse, mc_triangles_np
 from ..ops.sampling import block_lattice
 from . import map as M
 
@@ -141,15 +141,12 @@ class MeshExtractor:
             cube_sdf, cube_std, cfg.n_xyz, self.r, self.max_triangles,
             max_std=max_std, interpolate=self.interpolate)
 
-        count = int(result.count)
+        tris, stds, blocks, count = mc_triangles_np(result)
         if count > self.max_triangles:
             import logging
             logging.warning("marching cubes: triangle budget too small (%d > %d)",
                             count, self.max_triangles)
-            count = self.max_triangles
-        tris = np.asarray(result.triangles[:count])
-        stds = np.asarray(result.tri_std[:count])
-        blocks = np.asarray(result.tri_block[:count]).astype(np.int64)
+        blocks = blocks.astype(np.int64)
 
         # world space
         tris = tris * cfg.voxel_size + np.asarray(cfg.bound_min, np.float32)

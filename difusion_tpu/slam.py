@@ -1,0 +1,211 @@
+"""Online SLAM pipeline: track -> fuse -> mesh (reference pytorch/main.py).
+
+The reference couples the per-frame loop to an Open3D GUI (main.py:105-155);
+here the pipeline is a library class plus an offline CLI that dumps a TUM
+trajectory, a PLY mesh, ATE against ground truth, and per-stage timings
+(the observability the reference lacks, SURVEY.md section 5).
+
+Per frame (reference refresh, main.py:42-102):
+1. depth cut to the configured range,
+2. ``SDFTracker.track_camera`` (GT/first pose on frame 0),
+3. every ``integrate_interval`` frames: ``integrate_keyframe`` with the
+   tracked pose applied to the processed point cloud, then incremental mesh
+   extraction.
+
+Host<->device traffic is one frame upload per step; everything else stays
+jitted on device.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import dict_to_args, load_yaml_args
+from .core import map as M
+from .core.meshing import MeshExtractor
+from .core.tracker import SDFTracker, TrackerConfig
+from .data import FrameData, RGBDSequence, open_sequence
+from .models.decoder import DecoderSpec, fold_decoder_params
+from .models.encoder import fold_encoder_params
+from .ops.imgproc import Intrinsic
+from .utils.motion import Isometry, ate_rmse
+
+
+def load_prior(hyper_path: str, use_epoch: int = -1):
+    """Load + fold a prior for the SLAM path.  Reads the reference's torch
+    checkpoints (or a previously cached ``prior.npz`` next to hyper.json,
+    avoiding the torch dependency on repeat runs)."""
+    hyper_path = Path(hyper_path)
+    cache = hyper_path.parent / f"prior_{use_epoch}.npz"
+    from .models import torch_import as TI
+    if cache.exists():
+        loaded = TI.load_params_npz(str(cache))
+        hyper = json.loads(hyper_path.read_text())
+        dec_t, enc_t = loaded["decoder"], loaded["encoder"]
+        spec_d, spec_e = DecoderSpec.from_hyper(hyper), None
+    else:
+        dec_t, enc_t, spec_d, spec_e, hyper = TI.load_torch_prior(str(hyper_path), use_epoch)
+        try:
+            TI.save_params_npz(str(cache), decoder=dec_t, encoder=enc_t)
+        except OSError:
+            pass
+    dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
+    enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
+    return dec, enc, spec_d
+
+
+class SLAMSystem:
+    """Track + fuse + mesh over an RGB-D stream."""
+
+    def __init__(self, map_cfg: M.MapConfig, tcfg: TrackerConfig,
+                 dec_params: Dict[str, Any], enc_params: Dict[str, Any],
+                 spec: DecoderSpec, calib: Intrinsic,
+                 integrate_interval: int = 20,
+                 depth_cut: tuple = (0.5, 5.0),
+                 mesh_resolution: int = 4,
+                 max_triangles: int = 1 << 22,
+                 mesh_max_std: float = 0.15,
+                 meshing: bool = True):
+        self.map_cfg = map_cfg
+        self.enc_params = enc_params
+        self.state = M.create_map_state(map_cfg)
+        self.tracker = SDFTracker(map_cfg, tcfg, dec_params, spec, calib)
+        self.mesher = MeshExtractor(map_cfg, dec_params, spec,
+                                    voxel_resolution=mesh_resolution,
+                                    max_triangles=max_triangles) if meshing else None
+        self.integrate_interval = integrate_interval
+        self.depth_cut = depth_cut
+        self.mesh_max_std = mesh_max_std
+        self.first_iso: Optional[Isometry] = None
+        self.timings: Dict[str, List[float]] = {"track": [], "integrate": [], "mesh": []}
+
+    @classmethod
+    def from_config(cls, args, calib: Intrinsic, first_iso: Isometry,
+                    capacity: int = 1 << 16, point_budget: int = 1 << 14,
+                    meshing: bool = True) -> "SLAMSystem":
+        """Build from a reference-style fusion config namespace
+        (configs/fusion-lr-kt.yaml)."""
+        dec, enc, spec = load_prior(args.training_hypers, args.using_epoch)
+        mapping = dict_to_args(args.mapping) if isinstance(args.mapping, dict) else args.mapping
+        tracking = dict_to_args(args.tracking) if isinstance(args.tracking, dict) else args.tracking
+        map_cfg = M.MapConfig.from_args(mapping, latent_dim=spec.latent_size,
+                                        capacity=capacity)
+        tcfg = TrackerConfig.from_args(tracking, point_budget=point_budget)
+        sys = cls(map_cfg, tcfg, dec, enc, spec, calib,
+                  integrate_interval=int(getattr(args, "integrate_interval", 20)),
+                  depth_cut=(float(getattr(args, "depth_cut_min", 0.5)),
+                             float(getattr(args, "depth_cut_max", 5.0))),
+                  mesh_resolution=int(getattr(args, "resolution", 4)),
+                  meshing=meshing)
+        sys.first_iso = first_iso
+        return sys
+
+    # -- per-frame step ------------------------------------------------------
+
+    def process_frame(self, frame: FrameData) -> Isometry:
+        rgb = jnp.asarray(frame.rgb)
+        depth = jnp.asarray(frame.depth)
+        ok = jnp.asarray(frame.depth_ok) \
+            & (depth >= self.depth_cut[0]) & (depth <= self.depth_cut[1])
+
+        t0 = time.perf_counter()
+        set_pose = None
+        if not self.tracker.all_pd_pose:
+            set_pose = self.first_iso if self.first_iso is not None else (
+                frame.gt_pose if frame.gt_pose is not None else Isometry())
+        pose = self.tracker.track_camera(self.state, rgb, depth, ok, set_pose)
+        jax.block_until_ready(self.tracker.last_processed.pts_cam)
+        self.timings["track"].append(time.perf_counter() - t0)
+
+        n_done = len(self.tracker.all_pd_pose)
+        if (n_done - 1) % self.integrate_interval == 0:
+            t0 = time.perf_counter()
+            w_pts, w_nrm, w_mask = self.tracker.last_pc_world(pose)
+            self.state = M.integrate_keyframe(self.map_cfg, self.enc_params,
+                                              self.state, w_pts, w_nrm, w_mask)
+            jax.block_until_ready(self.state.latents)
+            self.timings["integrate"].append(time.perf_counter() - t0)
+
+            if self.mesher is not None:
+                t0 = time.perf_counter()
+                self.state = self.mesher.extract(self.state, max_std=self.mesh_max_std)
+                self.timings["mesh"].append(time.perf_counter() - t0)
+        return pose
+
+    # -- offline driver ------------------------------------------------------
+
+    def run_sequence(self, sequence: RGBDSequence,
+                     max_frames: int = -1) -> Dict[str, Any]:
+        n = len(sequence) if max_frames < 0 else min(max_frames, len(sequence))
+        self.first_iso = self.first_iso or sequence.first_iso
+        for i, frame in enumerate(sequence):
+            if i >= n:
+                break
+            pose = self.process_frame(frame)
+            if i % 25 == 0:
+                logging.info("frame %d/%d  t=%s", i, n, np.round(pose.t, 3))
+        result: Dict[str, Any] = {
+            "n_frames": len(self.tracker.all_pd_pose),
+            "trajectory": self.tracker.all_pd_pose,
+            "n_voxels": int(self.state.n_occupied),
+        }
+        if sequence.gt_trajectory is not None:
+            gt = sequence.gt_trajectory[:len(self.tracker.all_pd_pose)]
+            result["ate_rmse"] = ate_rmse(gt, self.tracker.all_pd_pose)
+        for k, v in self.timings.items():
+            if v:
+                # drop warmup/compile frames from steady-state stats
+                steady = v[2:] if len(v) > 4 else v
+                result[f"{k}_ms"] = 1e3 * float(np.mean(steady))
+        return result
+
+    def save_trajectory(self, path: str):
+        """TUM format: id tx ty tz qx qy qz qw."""
+        with open(path, "w") as f:
+            for i, p in enumerate(self.tracker.all_pd_pose):
+                qx, qy, qz = p.q.vector
+                f.write(f"{i} {p.t[0]} {p.t[1]} {p.t[2]} {qx} {qy} {qz} {p.q.w}\n")
+
+    def save_map(self, path: str):
+        M.save_map(path, self.map_cfg, self.state)
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(description="difusion-tpu SLAM")
+    parser.add_argument("config", help="fusion yaml (reference format)")
+    parser.add_argument("--max-frames", type=int, default=-1)
+    parser.add_argument("--output", type=str, default="slam_out")
+    parser.add_argument("--no-mesh", action="store_true")
+    cli = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from .utils.jaxtools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+    args = load_yaml_args(cli.config)
+    seq = open_sequence(args.sequence_type, **args.sequence_kwargs)
+    calib = seq.calib if hasattr(seq, "calib") else None
+    system = SLAMSystem.from_config(args, calib, seq.first_iso,
+                                    meshing=not cli.no_mesh)
+    result = system.run_sequence(seq, cli.max_frames)
+
+    out = Path(cli.output)
+    out.mkdir(parents=True, exist_ok=True)
+    system.save_trajectory(str(out / "trajectory.txt"))
+    system.save_map(str(out / "map.npz"))
+    if system.mesher is not None:
+        system.mesher.write_ply(str(out / "mesh.ply"))
+    summary = {k: v for k, v in result.items() if k != "trajectory"}
+    print(json.dumps(summary, indent=2, default=float))
+    return result
+
+
+if __name__ == "__main__":
+    main()

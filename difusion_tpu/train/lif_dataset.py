@@ -1,0 +1,138 @@
+"""LIF (local implicit function) training dataset.
+
+Parity with pytorch/dataset/training/lif_dataset.py: per-voxel npz payloads
+(``payload/%08d.npz`` with "data" (M, 4) xyz+sdf and "surface" (K, 6) xyzn,
+indexed by ``source.json``), positive/negative-balanced SDF sampling,
+Y/X/Z/3D rotation augmentation, surface noise + normal perturbation.
+
+Torch-free: numpy end to end, with a simple shuffled batcher that assembles
+device-ready arrays (the reference uses a torch DataLoader with 8 workers;
+here the npz reads are cheap relative to the TPU step and a single-threaded
+batcher keeps the loop simple -- swap in a thread pool if IO ever dominates).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.motion import Quaternion
+
+
+def perturb_normal(normals: np.ndarray, theta_range: float,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Random cone perturbation of unit normals (lif_dataset.py:10-24)."""
+    normal_x_1 = np.stack([-normals[:, 1], normals[:, 0], np.zeros_like(normals[:, 0])], axis=1)
+    normal_x_2 = np.stack([-normals[:, 2], np.zeros_like(normals[:, 0]), normals[:, 0]], axis=1)
+    mask = np.abs(np.abs(normals[:, 2]) - 1.0) > 0.1
+    normal_x = np.where(mask[:, None], normal_x_1, normal_x_2)
+    normal_x /= np.maximum(np.linalg.norm(normal_x, axis=1, keepdims=True), 1e-12)
+    normal_y = np.cross(normals, normal_x)
+    phi = rng.random((normals.shape[0], 1)) * 2.0 * np.pi
+    phi_dir = np.cos(phi) * normal_x + np.sin(phi) * normal_y
+    theta = rng.random((normals.shape[0], 1)) * theta_range
+    return np.cos(theta) * normals + np.sin(theta) * phi_dir
+
+
+def _random_rotation(kind: Optional[str], rng: np.random.Generator) -> Optional[np.ndarray]:
+    if kind is None:
+        return None
+    if kind == "3D":
+        return Quaternion.random(rng).rotation_matrix
+    if kind == "X":
+        return Quaternion(axis=np.array([1.0, 0.0, 0.0]), degrees=360.0 * rng.random()).rotation_matrix
+    if kind == "Y":
+        base = rng.choice([0.0, 90.0, 180.0, 270.0])
+        return Quaternion(axis=np.array([0.0, 1.0, 0.0]), degrees=base + 30.0 * rng.random()).rotation_matrix
+    return Quaternion(axis=np.array([0.0, 0.0, 1.0]), degrees=360.0 * rng.random()).rotation_matrix
+
+
+class LifDataset:
+    """One payload directory (lif_dataset.py:27-92)."""
+
+    def __init__(self, data_path: str, num_sample: int,
+                 num_surface_sample: int = 0, augment_rotation: Optional[str] = None,
+                 augment_noise: Tuple[float, float] = (0.0, 0.0),
+                 surface_format: str = "xyzn", seed: int = 0):
+        # the reference prefixes cache specs like "cached$local://<path>";
+        # strip any scheme decoration down to the filesystem path
+        if "://" in data_path:
+            data_path = data_path.split("://", 1)[1]
+        self.data_path = Path(data_path)
+        with (self.data_path / "source.json").open() as f:
+            self.data_sources = json.load(f)
+        self.num_sample = num_sample
+        self.num_surface_sample = num_surface_sample
+        self.augment_rotation = augment_rotation
+        self.augment_noise = tuple(augment_noise)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.data_sources)
+
+    def get_raw_data(self, idx: int):
+        return np.load(self.data_path / "payload" / ("%08d.npz" % idx))
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        raw = self.get_raw_data(idx)
+        data = raw["data"]
+        rng = self.rng
+
+        pos = data[data[:, 3] > 0]
+        neg = data[data[:, 3] <= 0]
+        half = self.num_sample // 2
+        sample_pos = pos[(rng.random(half) * len(pos)).astype(int)]
+        sample_neg = neg[(rng.random(half) * len(neg)).astype(int)]
+        samples = np.concatenate([sample_pos, sample_neg], axis=0).astype(np.float32)
+
+        surface = raw["surface"]
+        surface = surface[rng.choice(len(surface), size=self.num_surface_sample,
+                                     replace=True)].astype(np.float32)
+
+        rot = _random_rotation(self.augment_rotation, rng)
+        if rot is not None:
+            samples[:, 0:3] = samples[:, 0:3] @ rot.T.astype(np.float32)
+            surface[:, 0:3] = surface[:, 0:3] @ rot.T.astype(np.float32)
+            surface[:, 3:6] = surface[:, 3:6] @ rot.T.astype(np.float32)
+
+        if self.augment_noise[0] > 0.0:
+            surface[:, 0:3] += rng.standard_normal((len(surface), 3)).astype(np.float32) \
+                * self.augment_noise[0]
+            surface[:, 3:6] = perturb_normal(surface[:, 3:6],
+                                             np.deg2rad(self.augment_noise[1]), rng)
+        return samples, surface
+
+
+class LifCombinedDataset:
+    """Concatenation of several LifDatasets (lif_dataset.py:95-116)."""
+
+    def __init__(self, *datasets: LifDataset):
+        assert datasets
+        self.datasets = datasets
+        self.cumulative_sizes = np.cumsum([len(d) for d in datasets])
+
+    def __len__(self) -> int:
+        return int(self.cumulative_sizes[-1])
+
+    def __getitem__(self, idx: int):
+        d = int(np.searchsorted(self.cumulative_sizes, idx, side="right"))
+        local = idx if d == 0 else idx - int(self.cumulative_sizes[d - 1])
+        return self.datasets[d][local]
+
+
+def iterate_batches(dataset, batch_size: int, rng: np.random.Generator,
+                    drop_last: bool = True
+                    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Shuffled epoch iterator yielding (sdf_samples (B, S, 4),
+    surface (B, N, 6), idx (B,))."""
+    order = rng.permutation(len(dataset))
+    n_full = len(order) // batch_size
+    end = n_full * batch_size if drop_last else len(order)
+    for b in range(0, end, batch_size):
+        ids = order[b:b + batch_size]
+        items = [dataset[int(i)] for i in ids]
+        yield (np.stack([s for s, _ in items]),
+               np.stack([f for _, f in items]),
+               ids.astype(np.int32))

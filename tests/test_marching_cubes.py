@@ -8,7 +8,7 @@ import pytest
 import conftest
 from difusion_tpu.core import map as M
 from difusion_tpu.ops import mc_tables
-from difusion_tpu.ops.marching_cubes import corner_field, marching_cubes_sparse
+from difusion_tpu.ops.marching_cubes import corner_field, marching_cubes_sparse, mc_triangles_np
 from difusion_tpu.ops.sampling import block_lattice, get_samples
 
 
@@ -104,9 +104,9 @@ class TestMarchingCubes:
                                     jnp.asarray(blocks), jnp.asarray(cube),
                                     jnp.asarray(std), cfg_xyz, r, 1 << 16,
                                     interpolate=interpolate)
-        count = int(res.count)
+        tris, stds, _, count = mc_triangles_np(res)
         assert 0 < count < 1 << 16
-        tris = np.asarray(res.triangles[:count]) * voxel + bmin  # to world
+        tris = tris * voxel + bmin  # to world
         # every vertex close to the sphere
         d = np.linalg.norm(tris.reshape(-1, 3), axis=1)
         assert np.abs(d - 0.6).max() < voxel / r + 1e-3
@@ -115,7 +115,6 @@ class TestMarchingCubes:
         area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
         assert abs(area - 4 * np.pi * 0.36) / (4 * np.pi * 0.36) < 0.05
         # per-vertex std propagated
-        stds = np.asarray(res.tri_std[:count])
         np.testing.assert_allclose(stds, 0.1, atol=1e-5)
 
     def test_watertight_soup(self):
@@ -127,8 +126,7 @@ class TestMarchingCubes:
         res = marching_cubes_sparse(jnp.asarray(indexer), jnp.asarray(s2b),
                                     jnp.asarray(blocks), jnp.asarray(cube),
                                     jnp.asarray(std), cfg_xyz, r, 1 << 16)
-        count = int(res.count)
-        tris = np.asarray(res.triangles[:count])
+        tris, _, _, count = mc_triangles_np(res)
         verts = tris.reshape(-1, 3)
         # quantize vertices to merge duplicates
         key = np.round(verts / 1e-4).astype(np.int64)
@@ -159,8 +157,8 @@ class TestMarchingCubes:
         res = marching_cubes_sparse(jnp.asarray(indexer), jnp.asarray(s2b),
                                     jnp.asarray(blocks), jnp.asarray(cube),
                                     jnp.asarray(std), cfg_xyz, r, 100)
-        assert int(res.count) > 100          # true count reported
-        assert res.triangles.shape[0] == 100  # buffer clamped
+        assert int(res.count) > 100           # true count reported
+        assert res.triangles.shape[1] == 100   # buffer clamped
 
 
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),

@@ -1,0 +1,93 @@
+"""End-to-end SLAM pipeline test: track+fuse+mesh a synthetic RGB-D sequence
+with the shipped reference prior and verify trajectory accuracy and mesh
+output (reference flow: pytorch/main.py refresh loop)."""
+import numpy as np
+import pytest
+
+import conftest
+
+import jax
+import jax.numpy as jnp
+
+from difusion_tpu.core import map as M
+from difusion_tpu.core.tracker import TrackerConfig
+from difusion_tpu.data import SyntheticSequence
+from difusion_tpu.models.decoder import fold_decoder_params
+from difusion_tpu.models.encoder import fold_encoder_params
+from difusion_tpu.ops.imgproc import Intrinsic
+from difusion_tpu.slam import SLAMSystem
+
+pytestmark = pytest.mark.skipif(not conftest.reference_ckpt_available(),
+                                reason="reference checkpoint unavailable")
+
+
+@pytest.fixture(scope="module")
+def prior():
+    from difusion_tpu.models import torch_import as TI
+    dec_t, enc_t, spec_d, _, _ = TI.load_torch_prior(conftest.REFERENCE_CKPT, 300)
+    dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
+    enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
+    return dec, enc, spec_d
+
+
+def _system(prior, **kw):
+    dec, enc, spec = prior
+    map_cfg = M.MapConfig(bound_min=(-2.0, -2.0, -0.5), n_xyz=(40, 40, 40),
+                          voxel_size=0.1, latent_dim=29, capacity=1 << 14,
+                          prune_min_vox_obs=4, ignore_count_th=1.0,
+                          encoder_count_th=600.0)
+    tcfg = TrackerConfig(point_budget=8192)
+    calib = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
+    defaults = dict(integrate_interval=4, depth_cut=(0.5, 5.0),
+                    mesh_resolution=2, max_triangles=1 << 18)
+    defaults.update(kw)
+    return SLAMSystem(map_cfg, tcfg, dec, enc, spec, calib, **defaults)
+
+
+def test_slam_synthetic_sequence(prior, tmp_path):
+    seq = SyntheticSequence(n_frames=9, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    system = _system(prior)
+    result = system.run_sequence(seq)
+
+    assert result["n_frames"] == 9
+    assert result["n_voxels"] > 50
+    assert result["ate_rmse"] < 0.012, result   # ~1 cm on noise-free input
+
+    tris, stds = system.mesher.triangles()
+    assert len(tris) > 100
+    # mesh vertices should lie near the synthetic surface z = 2 + relief
+    z_rel = tris[..., 2] - (2.0 + 0.1 * (np.sin(5.0 * tris[..., 0])
+                                         + 0.7 * np.cos(4.0 * tris[..., 1])))
+    assert np.abs(z_rel).mean() < 0.08, np.abs(z_rel).mean()
+
+    system.save_trajectory(str(tmp_path / "traj.txt"))
+    data = np.genfromtxt(tmp_path / "traj.txt")
+    assert data.shape == (9, 8)
+    system.mesher.write_ply(str(tmp_path / "mesh.ply"))
+    assert (tmp_path / "mesh.ply").stat().st_size > 1000
+
+    system.save_map(str(tmp_path / "map.npz"))
+    cfg2, state2 = M.load_map(str(tmp_path / "map.npz"))
+    assert int(state2.n_occupied) == result["n_voxels"]
+
+
+def test_slam_mapping_only_gt_poses(prior):
+    """Mapping-only config (BASELINE config 2): GT poses, fusion+meshing."""
+    seq = SyntheticSequence(n_frames=8, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    system = _system(prior, integrate_interval=2)
+    for i, frame in enumerate(seq):
+        rgb, depth = jnp.asarray(frame.rgb), jnp.asarray(frame.depth)
+        ok = jnp.asarray(frame.depth_ok) & (depth >= 0.5) & (depth <= 5.0)
+        system.tracker.track_camera(system.state, rgb, depth, ok,
+                                    set_pose=frame.gt_pose)
+        if i % 2 == 0:
+            w_pts, w_nrm, w_mask = system.tracker.last_pc_world(frame.gt_pose)
+            system.state = M.integrate_keyframe(system.map_cfg, system.enc_params,
+                                                system.state, w_pts, w_nrm, w_mask)
+    system.state = system.mesher.extract(system.state, max_std=0.3)
+    tris, _ = system.mesher.triangles()
+    assert len(tris) > 100

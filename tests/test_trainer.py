@@ -1,0 +1,128 @@
+"""Trainer tests: loss decrease on a synthetic LIF dataset, checkpoint
+round-trip, and data-parallel sharding over the virtual 8-device mesh
+(capability parity with pytorch/network_trainer.py)."""
+import json
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (platform setup)
+
+import jax
+import jax.numpy as jnp
+
+from difusion_tpu.models.decoder import DecoderSpec
+from difusion_tpu.models.encoder import EncoderSpec
+from difusion_tpu.train import lif_dataset as ldata
+from difusion_tpu.train import trainer as TR
+from difusion_tpu.train.losses import LossConfig
+
+SPEC_D = DecoderSpec()
+SPEC_E = EncoderSpec()
+LOSS = LossConfig()
+
+
+def make_synthetic_lif_dir(path, n_lifs=12, seed=0):
+    """Sphere-cap SDFs in voxel-local coords, reference payload format."""
+    rng = np.random.default_rng(seed)
+    payload = path / "payload"
+    payload.mkdir(parents=True)
+    sources = []
+    for i in range(n_lifs):
+        r = rng.uniform(0.2, 0.4)   # surface crosses the [-0.5, 0.5] box so
+        c = rng.uniform(-0.15, 0.15, 3)  # both sdf signs are populated
+        xyz = rng.uniform(-0.5, 0.5, (800, 3)).astype(np.float32)
+        sdf = (np.linalg.norm(xyz - c, axis=1) - r).astype(np.float32)
+        data = np.concatenate([xyz, sdf[:, None]], axis=1)
+        # surface points: project random dirs onto the sphere, keep in-box
+        dirs = rng.normal(size=(600, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        surf_xyz = (c + dirs * r).astype(np.float32)
+        surf = np.concatenate([surf_xyz, dirs.astype(np.float32)], axis=1)
+        np.savez(payload / ("%08d.npz" % i), data=data, surface=surf)
+        sources.append(f"lif_{i}")
+    (path / "source.json").write_text(json.dumps(sources))
+    return path
+
+
+@pytest.fixture(scope="module")
+def lif_dir(tmp_path_factory):
+    return make_synthetic_lif_dir(tmp_path_factory.mktemp("lif"))
+
+
+def test_lif_dataset_sampling(lif_dir):
+    ds = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32,
+                          augment_rotation="Y", augment_noise=(0.01, 20.0))
+    samples, surface = ds[0]
+    assert samples.shape == (64, 4)
+    assert surface.shape == (32, 6)
+    # pos/neg balance: first half positive, second negative
+    assert (samples[:32, 3] > 0).all() and (samples[32:, 3] <= 0).all()
+    # normals stay unit under perturbation
+    assert np.allclose(np.linalg.norm(surface[:, 3:6], axis=1), 1.0, atol=1e-4)
+
+    combined = ldata.LifCombinedDataset(ds, ds)
+    assert len(combined) == 2 * len(ds)
+    batches = list(ldata.iterate_batches(combined, 4, np.random.default_rng(0)))
+    assert batches[0][0].shape == (4, 64, 4)
+    assert batches[0][1].shape == (4, 32, 6)
+
+
+def test_train_step_reduces_loss(lif_dir):
+    ds = ldata.LifDataset(str(lif_dir), num_sample=128, num_surface_sample=64)
+    state = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
+    rng = np.random.default_rng(1)
+    key = jax.random.key(2)
+    losses_hist = []
+    for step in range(30):
+        batch = [ds[int(i)] for i in rng.integers(0, len(ds), 4)]
+        sdf = jnp.asarray(np.stack([b[0] for b in batch]))
+        surf = jnp.asarray(np.stack([b[1] for b in batch]))
+        key, sub = jax.random.split(key)
+        state, losses = TR.train_step(SPEC_D, LOSS, state, sdf, surf, sub,
+                                      jnp.float32(1e-3), jnp.float32(1e-3),
+                                      jnp.float32(1.0))
+        losses_hist.append(float(losses["total"]))
+    assert int(state.step) == 30
+    assert np.mean(losses_hist[-5:]) < np.mean(losses_hist[:5]) - 0.1, losses_hist
+
+
+def test_checkpoint_roundtrip(lif_dir, tmp_path):
+    state = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
+    hyper = {"run_name": "t", "code_length": 29}
+    TR.save_checkpoint(tmp_path, 5, state, hyper)
+    assert (tmp_path / "hyper.json").exists()
+    state2 = TR.load_checkpoint(tmp_path, 5, SPEC_D, SPEC_E)
+    a = jax.tree.leaves(state.dec_params)
+    b = jax.tree.leaves(state2.dec_params)
+    for x, y in zip(a, b):
+        assert np.allclose(np.asarray(x), np.asarray(y))
+
+
+def test_data_parallel_step_matches_single_device(lif_dir):
+    """DP over the 8-device mesh must match the single-device step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32)
+    batch = [ds[i % len(ds)] for i in range(8)]
+    sdf = jnp.asarray(np.stack([b[0] for b in batch]))
+    surf = jnp.asarray(np.stack([b[1] for b in batch]))
+    key = jax.random.key(3)
+
+    state1 = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
+    state1, losses1 = TR.train_step(SPEC_D, LOSS, state1, sdf, surf, key,
+                                    jnp.float32(1e-3), jnp.float32(1e-3),
+                                    jnp.float32(1.0))
+
+    mesh = TR.make_mesh(8)
+    state2 = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
+    state2 = TR.TrainState(*TR.replicate(mesh, tuple(state2)))
+    sdf_s, surf_s = TR.shard_batch(mesh, sdf, surf)
+    state2, losses2 = TR.train_step(SPEC_D, LOSS, state2, sdf_s, surf_s, key,
+                                    jnp.float32(1e-3), jnp.float32(1e-3),
+                                    jnp.float32(1.0))
+    assert np.isclose(float(losses1["total"]), float(losses2["total"]),
+                      rtol=1e-4), (losses1, losses2)
+    for x, y in zip(jax.tree.leaves(state1.dec_params),
+                    jax.tree.leaves(state2.dec_params)):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=2e-5)
