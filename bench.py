@@ -57,10 +57,16 @@ def main():
     warmup = 4
     for f in frames[:warmup]:
         system.process_frame(f)
+    # force the warmup tail before starting the clock, then drain the full
+    # async pipeline by fetching the final pose (np.asarray is a real
+    # transfer; block_until_ready can be a no-op on tunneled backends and the
+    # last pose transitively depends on every frame's preprocess+track)
+    np.asarray(system.tracker.pose_history[-1].t)
     t0 = time.perf_counter()
     for f in frames[warmup:]:
         system.process_frame(f)
-    jax.block_until_ready(system.state.latents)
+    np.asarray(system.tracker.pose_history[-1].t)
+    np.asarray(system.state.latents[0])
     dt = time.perf_counter() - t0
 
     fps = (len(frames) - warmup) / dt

@@ -24,6 +24,7 @@ TPU-first redesign decisions (cf. SURVEY.md section 7):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -151,6 +152,7 @@ _INTEGRATION_OFFSETS = np.array([
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def integrate_keyframe(cfg: MapConfig, enc_params: Dict[str, Any], state: MapState,
                        surface_xyz: jnp.ndarray, surface_normal: jnp.ndarray,
                        valid: jnp.ndarray) -> MapState:

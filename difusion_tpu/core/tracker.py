@@ -64,6 +64,21 @@ class TrackerConfig(NamedTuple):
     stencil_window: int = 6
     box_filter_size: float = 0.02
     pyramid_levels: int = 3
+    # convergence tolerances: GN stops once the twist step norm falls below
+    # xi_tol (meters/radians) or the energy improves by less than
+    # energy_rel_tol relative.  The reference runs every configured iteration
+    # regardless (tracker.py:232); early-exit is pure speed -- set both to 0
+    # to reproduce reference scheduling exactly.
+    xi_tol: float = 1e-5
+    energy_rel_tol: float = 1e-4
+    # evaluate the photometric term on a stride-s pixel subset of levels 0-1:
+    # the warp's random gathers dominate GN wall time on TPU, and a strided
+    # subset is an unbiased subsample of the normal equations (the reference
+    # uses every pixel; set 1 for exact parity)
+    rgb_stride: int = 2
+    # depth observation range (reference main.py:67-68, configs yaml:20-21)
+    depth_cut_min: float = 0.5
+    depth_cut_max: float = 5.0
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -98,35 +113,84 @@ class ProcessedFrame(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _window_outlier_ok(pc_map: jnp.ndarray, valid: jnp.ndarray,
-                       nb_points: int, radius: float, window: int) -> jnp.ndarray:
-    """Radius outlier test as an image-window stencil: a pixel survives if at
-    least ``nb_points`` pixels (self included) in the (2w+1)^2 window lie
-    within ``radius`` (reference remove_radius_outlier semantics over the
-    depth-image point set, pcproc.cu:160-187)."""
-    r2 = radius * radius
-    offsets = jnp.asarray([(dv, du) for dv in range(-window, window + 1)
-                           for du in range(-window, window + 1)], jnp.int32)
+def _window_stats(pc_map: jnp.ndarray, valid: jnp.ndarray, window: int,
+                  outlier_r2: float, nb_points: int, normal_r2: float,
+                  min_nb: float):
+    """One fused pass over the (2w+1)^2 pixel window: radius-outlier count
+    (reference remove_radius_outlier semantics over the depth-image point set,
+    pcproc.cu:160-187) AND windowed-PCA normals with camera-facing flip
+    (estimate_normals, pcproc.cu:107-158).
 
-    def body(count, off):
-        pos = jnp.roll(pc_map, (-off[0], -off[1]), axis=(0, 1))
-        ok = jnp.roll(valid, (-off[0], -off[1]), axis=(0, 1))
-        d2 = jnp.sum((pos - pc_map) ** 2, axis=-1)
-        return count + (ok & (d2 <= r2)).astype(jnp.int32), None
+    TPU shape discipline: neighborhoods are materialized as (K, H, W) patch
+    stacks per coordinate (big image axes last, no tiny trailing dims), so the
+    whole stencil is a handful of dense vectorized passes instead of K
+    sequential shifted ops.  Covariances accumulate via the one-pass identity
+    cov = S2 - S1 S1^T / n.
 
-    count, _ = jax.lax.scan(body, jnp.zeros(pc_map.shape[:2], jnp.int32), offsets)
-    return valid & (count >= nb_points)
+    Returns (outlier_ok (H,W), normal (H,W,3), normal_ok (H,W)).
+    """
+    h, w = valid.shape
+    px = jnp.where(valid, pc_map[..., 0], 0.0)
+    py = jnp.where(valid, pc_map[..., 1], 0.0)
+    pz = jnp.where(valid, pc_map[..., 2], 0.0)
+
+    def patches(img, fill=0.0):
+        padded = jnp.pad(img, window, constant_values=fill)
+        return jnp.stack([
+            jax.lax.dynamic_slice(padded, (window + dv, window + du), (h, w))
+            for dv in range(-window, window + 1)
+            for du in range(-window, window + 1)])          # (K, H, W)
+
+    nx_, ny_, nz_ = patches(px), patches(py), patches(pz)
+    nok = patches(valid.astype(jnp.float32))                # 1.0 where valid
+
+    dx = nx_ - px[None]
+    dy = ny_ - py[None]
+    dz = nz_ - pz[None]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    outlier_cnt = jnp.sum(jnp.where(d2 <= outlier_r2, nok, 0.0), axis=0)
+    outlier_ok = valid & (outlier_cnt >= nb_points)
+
+    wgt = jnp.where(d2 <= normal_r2, nok, 0.0)              # (K, H, W)
+    cnt = jnp.sum(wgt, axis=0)
+    s1x = jnp.sum(wgt * nx_, axis=0)
+    s1y = jnp.sum(wgt * ny_, axis=0)
+    s1z = jnp.sum(wgt * nz_, axis=0)
+    c = 1.0 / jnp.maximum(cnt, 1.0)
+    cov_xx = jnp.sum(wgt * nx_ * nx_, axis=0) - s1x * s1x * c
+    cov_xy = jnp.sum(wgt * nx_ * ny_, axis=0) - s1x * s1y * c
+    cov_xz = jnp.sum(wgt * nx_ * nz_, axis=0) - s1x * s1z * c
+    cov_yy = jnp.sum(wgt * ny_ * ny_, axis=0) - s1y * s1y * c
+    cov_yz = jnp.sum(wgt * ny_ * nz_, axis=0) - s1y * s1z * c
+    cov_zz = jnp.sum(wgt * nz_ * nz_, axis=0) - s1z * s1z * c
+
+    vx, vy, vz, _ = imgproc.sym3eig_smallest_components(
+        cov_xx, cov_xy, cov_xz, cov_yy, cov_yz, cov_zz)
+    flip = (vx * px + vy * py + vz * pz) > 0.0              # camera at origin
+    vx = jnp.where(flip, -vx, vx)
+    vy = jnp.where(flip, -vy, vy)
+    vz = jnp.where(flip, -vz, vz)
+    normal = jnp.stack([vx, vy, vz], axis=-1)
+    normal_ok = valid & (cnt >= min_nb)
+    return outlier_ok, normal, normal_ok
 
 
 @partial(jax.jit, static_argnames=("tcfg", "calib"))
 def preprocess_frame(tcfg: TrackerConfig, calib: Intrinsic,
-                     rgb: jnp.ndarray, depth: jnp.ndarray,
-                     depth_ok: jnp.ndarray) -> ProcessedFrame:
+                     rgb: jnp.ndarray, depth: jnp.ndarray) -> ProcessedFrame:
     """Intensity pyramid + camera-space point cloud with normals.
 
-    rgb (H, W, 3) in [0, 1]; depth (H, W) metric with ``depth_ok`` validity
-    (the caller applies the depth cut, reference main.py:67-68).
+    Everything from raw sensor arrays onward happens in this one jit: rgb may
+    be uint8 (frames upload at 1/4 the bytes) and depth may be uint16 raw
+    units (converted by ``calib.dcam_scale``); the depth cut
+    (reference main.py:67-68) is applied here from ``tcfg``.
     """
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
+    if jnp.issubdtype(depth.dtype, jnp.integer):
+        depth = depth.astype(jnp.float32) * (1.0 / calib.dcam_scale)
+    depth_ok = (depth >= tcfg.depth_cut_min) & (depth <= tcfg.depth_cut_max)
     intensity = jnp.mean(rgb, axis=-1)
     pyramid = imgproc.make_image_pyramid(intensity, depth, depth_ok,
                                          tcfg.pyramid_levels)
@@ -139,12 +203,11 @@ def preprocess_frame(tcfg: TrackerConfig, calib: Intrinsic,
     pc_map = imgproc.unproject_depth(d_sub, ok_sub, calib.fx * sc, calib.fy * sc,
                                      calib.cx * sc, calib.cy * sc)
 
-    ok_sub = _window_outlier_ok(pc_map, ok_sub, tcfg.outlier_nb,
-                                tcfg.outlier_radius, tcfg.stencil_window)
-    normals, _, n_ok = imgproc.compute_normal_weight_robust(
-        pc_map, ok_sub, radius=tcfg.stencil_window,
-        dist2_th=tcfg.normal_radius ** 2, min_count=6.0)
-    ok_sub = ok_sub & n_ok
+    outlier_ok, normals, n_ok = _window_stats(
+        pc_map, ok_sub, tcfg.stencil_window,
+        outlier_r2=tcfg.outlier_radius ** 2, nb_points=tcfg.outlier_nb,
+        normal_r2=tcfg.normal_radius ** 2, min_nb=6.0)
+    ok_sub = outlier_ok & n_ok
 
     pts = pc_map.reshape(-1, 3)
     nrm = normals.reshape(-1, 3)
@@ -210,11 +273,14 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     kt = K @ delta.t
     intr = jnp.array([fx, fy, cx, cy])
 
+    st = tcfg.rgb_stride if level <= 1 else 1
     f, J, ok = imgproc.rgb_odometry(
         prev.intensity[level], prev.depth[level], prev.depth_ok[level],
-        cur.intensity[level], cur.depth[level], cur.depth_ok[level],
-        cur.grad[level], cur.grad_ok[level], intr, krkinv, kt,
-        tcfg.min_grad_scale, tcfg.max_depth_delta)
+        cur.intensity[level][::st, ::st], cur.depth[level][::st, ::st],
+        cur.depth_ok[level][::st, ::st],
+        cur.grad[level][::st, ::st], cur.grad_ok[level][::st, ::st],
+        intr, krkinv, kt,
+        tcfg.min_grad_scale, tcfg.max_depth_delta, coord_stride=st)
 
     f = f.reshape(-1)
     J = J.reshape(-1, 6)
@@ -245,8 +311,12 @@ def _solve_precond(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 class GNResult(NamedTuple):
     delta_R: jnp.ndarray
     delta_t: jnp.ndarray
+    final_R: jnp.ndarray            # last_pose o delta, composed on device
+    final_t: jnp.ndarray
     final_energy: jnp.ndarray
     last_group_iters: jnp.ndarray   # accepted updates in the final group
+    n_unstable: jnp.ndarray         # updated divergence counter
+    rgb_weight: jnp.ndarray         # updated weight (fallback clamp applied)
 
 
 @partial(jax.jit, static_argnames=("tcfg", "map_cfg", "spec", "calib"))
@@ -254,10 +324,13 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                  calib: Intrinsic, dec_params, state: M.MapState,
                  last_R: jnp.ndarray, last_t: jnp.ndarray,
                  prev: Pyramid, cur: ProcessedFrame,
-                 rgb_weight: jnp.ndarray) -> GNResult:
+                 rgb_weight: jnp.ndarray,
+                 n_unstable: jnp.ndarray) -> GNResult:
     """Run the grouped GN schedule (reference gauss_newton,
     tracker.py:220-283): per group, iterate ``n`` updates + a final
-    evaluation-only pass, rejecting any step that raises the energy."""
+    evaluation-only pass, rejecting any step that raises the energy.  Pose
+    composition and the instability fallback (tracker.py:276-281) happen
+    in-jit so a tracked frame costs zero host round-trips."""
     last = Pose(last_R, last_t)
 
     def eval_Hg(delta: Pose, terms):
@@ -292,6 +365,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             H, g, E = eval_Hg(d, terms)
             worse = E > bE
             accept = ~worse
+            stalled = (bE - E) < tcfg.energy_rel_tol * jnp.abs(E)
             bR2 = jnp.where(accept, dR, bR)
             bt2 = jnp.where(accept, dt, bt)
             bE2 = jnp.where(accept, E, bE)
@@ -301,7 +375,11 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             is_last = i == n
             stepR = jnp.where(accept & ~is_last, upd.R @ dR, bR2)
             stept = jnp.where(accept & ~is_last, upd.R @ dt + upd.t, bt2)
-            return (i + 1, stepR, stept, bR2, bt2, bE2, worse | is_last | ~xi_ok)
+            # a sub-tolerance step means converged: stop the group (the
+            # dropped tail step is below xi_tol and cannot matter)
+            converged = (jnp.sum(xi * xi) < tcfg.xi_tol ** 2) | stalled
+            return (i + 1, stepR, stept, bR2, bt2, bE2,
+                    worse | is_last | ~xi_ok | converged)
 
         init = (jnp.zeros((), jnp.int32), delta.R, delta.t,
                 delta.R, delta.t, jnp.full((), jnp.inf, jnp.float32),
@@ -313,8 +391,15 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             # i_end counts evaluations; accepted updates = i_end - 1
             n_accept_last = jnp.maximum(i_end - 1, 0)
 
-    return GNResult(delta_R=delta.R, delta_t=delta.t, final_energy=energy,
-                    last_group_iters=n_accept_last)
+    n_unstable = n_unstable + (n_accept_last >= 10)
+    rgb_weight = jnp.where(n_unstable >= 3,
+                           jnp.maximum(rgb_weight, 500.0), rgb_weight)
+    return GNResult(delta_R=delta.R, delta_t=delta.t,
+                    final_R=last_R @ delta.R,
+                    final_t=last_R @ delta.t + last_t,
+                    final_energy=energy,
+                    last_group_iters=n_accept_last,
+                    n_unstable=n_unstable, rgb_weight=rgb_weight)
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +410,12 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
 class SDFTracker:
     """Host wrapper mirroring the reference ``SDFTracker`` object model:
     holds the previous frame's pyramid, the pose history, and the
-    ``n_unstable`` fallback (tracker.py:276-281)."""
+    ``n_unstable`` fallback (tracker.py:276-281).
+
+    All per-frame state -- poses included -- stays on device, so a tracked
+    frame dispatches asynchronously with zero host round-trips (the reference
+    syncs every GN iteration).  Poses materialize as :class:`Isometry` only
+    on explicit export (:attr:`all_pd_pose`, :meth:`pose_at`)."""
 
     def __init__(self, map_cfg: M.MapConfig, tcfg: TrackerConfig,
                  dec_params: Dict[str, Any], spec: DecoderSpec,
@@ -335,48 +425,56 @@ class SDFTracker:
         self.dec_params = dec_params
         self.spec = spec
         self.calib = calib
-        self.all_pd_pose: list = []
+        self.pose_history: list = []            # device Pose per frame
         self.last_pyramid: Optional[Pyramid] = None
         self.last_processed: Optional[ProcessedFrame] = None
-        self.n_unstable = 0
-        self.rgb_weight = float(tcfg.rgb_weight)
+        self.n_unstable = jnp.zeros((), jnp.int32)
+        self.rgb_weight = jnp.asarray(tcfg.rgb_weight, jnp.float32)
+
+    @property
+    def n_tracked(self) -> int:
+        return len(self.pose_history)
+
+    def pose_at(self, i: int) -> Isometry:
+        p = self.pose_history[i]
+        return Isometry.from_matrix(np.asarray(p.R, np.float64),
+                                    np.asarray(p.t, np.float64), ortho=True)
+
+    @property
+    def all_pd_pose(self) -> list:
+        """Pose history as host Isometries (forces a device sync)."""
+        return [self.pose_at(i) for i in range(len(self.pose_history))]
 
     def track_camera(self, state: M.MapState, rgb: jnp.ndarray,
-                     depth: jnp.ndarray, depth_ok: jnp.ndarray,
-                     set_pose: Optional[Isometry] = None) -> Isometry:
-        processed = preprocess_frame(self.tcfg, self.calib, rgb, depth, depth_ok)
+                     depth: jnp.ndarray,
+                     set_pose: Optional[Isometry] = None) -> Pose:
+        processed = preprocess_frame(self.tcfg, self.calib, rgb, depth)
 
         if set_pose is not None:
-            final_pose = set_pose
+            final_pose = Pose(
+                jnp.asarray(set_pose.q.rotation_matrix.astype(np.float32)),
+                jnp.asarray(set_pose.t.astype(np.float32)))
         else:
-            assert self.all_pd_pose, "first frame needs set_pose"
-            last = self.all_pd_pose[-1]
+            assert self.pose_history, "first frame needs set_pose"
+            last = self.pose_history[-1]
             res = gauss_newton(
                 self.tcfg, self.map_cfg, self.spec, self.calib,
-                self.dec_params, state,
-                jnp.asarray(last.q.rotation_matrix.astype(np.float32)),
-                jnp.asarray(last.t.astype(np.float32)),
-                self.last_pyramid, processed,
-                jnp.asarray(self.rgb_weight, jnp.float32))
-            delta = Isometry.from_matrix(np.asarray(res.delta_R, np.float64),
-                                         np.asarray(res.delta_t, np.float64),
-                                         ortho=True)
-            final_pose = last.dot(delta)
-            if int(res.last_group_iters) >= 10:
-                self.n_unstable += 1
-                if self.n_unstable >= 3:
-                    self.rgb_weight = max(self.rgb_weight, 500.0)
+                self.dec_params, state, last.R, last.t,
+                self.last_pyramid, processed, self.rgb_weight,
+                self.n_unstable)
+            final_pose = Pose(res.final_R, res.final_t)
+            self.n_unstable = res.n_unstable
+            self.rgb_weight = res.rgb_weight
 
         self.last_pyramid = processed.pyramid
         self.last_processed = processed
-        self.all_pd_pose.append(final_pose)
+        self.pose_history.append(final_pose)
         return final_pose
 
-    def last_pc_world(self, pose: Isometry
+    def last_pc_world(self, pose: Pose
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """World-space (points, normals, mask) of the last processed frame
         (reference main.py:83-85)."""
         p = self.last_processed
-        R = jnp.asarray(pose.q.rotation_matrix.astype(np.float32))
-        t = jnp.asarray(pose.t.astype(np.float32))
-        return p.pts_cam @ R.T + t, p.normals_cam @ R.T, p.pc_mask
+        return (p.pts_cam @ pose.R.T + pose.t, p.normals_cam @ pose.R.T,
+                p.pc_mask)

@@ -35,7 +35,7 @@ class FrameData:
     def __init__(self, rgb: np.ndarray, depth: np.ndarray, depth_ok: np.ndarray,
                  calib: FrameIntrinsic, gt_pose: Optional[Isometry] = None,
                  frame_id: int = -1):
-        self.rgb = rgb              # (H, W, 3) f32 in [0, 1]
+        self.rgb = rgb              # (H, W, 3) uint8, or f32 in [0, 1]
         self.depth = depth          # (H, W) f32 metric
         self.depth_ok = depth_ok    # (H, W) bool sensor validity
         self.calib = calib
@@ -64,7 +64,8 @@ class RGBDSequence:
 def _imread_color(path: str) -> np.ndarray:
     import cv2
     img = cv2.imread(path)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    # kept uint8: frames upload to device at 1/4 the bytes and convert there
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
 def _imread_depth_raw(path: str) -> np.ndarray:
@@ -235,7 +236,7 @@ class SyntheticSequence(RGBDSequence):
         depth = np.where(ok, s, 0.0).astype(np.float32)
         pts = t[None, None] + s[..., None] * dirs_w
         tex = 0.5 + 0.25 * np.sin(pts[..., 0] * 17.0) + 0.25 * np.cos(pts[..., 1] * 13.0)
-        rgb = np.repeat(np.clip(tex, 0, 1).astype(np.float32)[..., None], 3, -1)
+        rgb = np.repeat((np.clip(tex, 0, 1) * 255).astype(np.uint8)[..., None], 3, -1)
         return rgb, depth, ok
 
     def __next__(self) -> FrameData:

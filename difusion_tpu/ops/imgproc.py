@@ -134,44 +134,56 @@ def compute_normal_weight(pc_map: jnp.ndarray, valid: jnp.ndarray
     return normal, jnp.where(ok, weight, -1.0), ok
 
 
-def sym3eig_smallest(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Closed-form smallest eigenpair of batched symmetric 3x3 matrices
-    (branchless port of the trigonometric ``sym3eig``, imgproc.cu:164-243 /
-    pcproc.cu:22-98).  cov: (..., 3, 3) -> (eigvec (..., 3), eigval (...,))."""
-    x11, x12, x13 = cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2]
-    x22, x23, x33 = cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]
-    x21, x31, x32 = cov[..., 1, 0], cov[..., 2, 0], cov[..., 2, 1]
-
+def sym3eig_smallest_components(x11, x12, x13, x22, x23, x33):
+    """Closed-form smallest eigenpair from the 6 unique components of batched
+    symmetric 3x3 matrices (imgproc.cu:164-243 / pcproc.cu:22-98).  Component
+    layout keeps every array at the batch shape -- no trailing tiny dims to
+    tile-pad on TPU.  Returns (vx, vy, vz, lam)."""
     p1 = x12 ** 2 + x13 ** 2 + x23 ** 2
     q = (x11 + x22 + x33) / 3.0
     p2 = (x11 - q) ** 2 + (x22 - q) ** 2 + (x33 - q) ** 2 + 2.0 * p1
     p = jnp.sqrt(jnp.maximum(p2, 1e-30) / 6.0)
     ip = 1.0 / p
     b11, b12, b13 = ip * (x11 - q), ip * x12, ip * x13
-    b21, b22, b23 = ip * x21, ip * (x22 - q), ip * x23
-    b31, b32, b33 = ip * x31, ip * x32, ip * (x33 - q)
-    r = (b11 * b22 * b33 + b12 * b23 * b31 + b13 * b21 * b32
-         - b13 * b22 * b31 - b12 * b21 * b33 - b11 * b23 * b32) / 2.0
+    b22, b23, b33 = ip * (x22 - q), ip * x23, ip * (x33 - q)
+    r = (b11 * b22 * b33 + 2.0 * b12 * b23 * b13
+         - b13 * b22 * b13 - b12 * b12 * b33 - b11 * b23 * b23) / 2.0
     phi = jnp.arccos(jnp.clip(r, -1.0, 1.0)) / 3.0
     lam = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
 
-    # eigenvector: largest cross product of rows of (A - lam I)
-    a1 = jnp.stack([x11 - lam, x12, x13], axis=-1)
-    a2 = jnp.stack([x21, x22 - lam, x23], axis=-1)
-    a3 = jnp.stack([x31, x32, x33 - lam], axis=-1)
-    r12 = jnp.cross(a1, a2)
-    r13 = jnp.cross(a1, a3)
-    r23 = jnp.cross(a2, a3)
-    d1 = jnp.sum(r12 ** 2, axis=-1)
-    d2 = jnp.sum(r13 ** 2, axis=-1)
-    d3 = jnp.sum(r23 ** 2, axis=-1)
-    d = jnp.stack([d1, d2, d3], axis=-1)
-    vecs = jnp.stack([r12, r13, r23], axis=-2)      # (..., 3, 3)
-    i_max = jnp.argmax(d, axis=-1)
-    best = jnp.take_along_axis(vecs, i_max[..., None, None], axis=-2)[..., 0, :]
-    d_max = jnp.take_along_axis(d, i_max[..., None], axis=-1)[..., 0]
-    vec = best / jnp.sqrt(jnp.maximum(d_max, 1e-30))[..., None]
-    return vec, lam
+    # rows of (A - lam I)
+    a1 = (x11 - lam, x12, x13)
+    a2 = (x12, x22 - lam, x23)
+    a3 = (x13, x23, x33 - lam)
+
+    def cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    r12, r13, r23 = cross(a1, a2), cross(a1, a3), cross(a2, a3)
+    d1 = r12[0] ** 2 + r12[1] ** 2 + r12[2] ** 2
+    d2 = r13[0] ** 2 + r13[1] ** 2 + r13[2] ** 2
+    d3 = r23[0] ** 2 + r23[1] ** 2 + r23[2] ** 2
+    use13 = d2 >= jnp.maximum(d1, d3)
+    use23 = (d3 > jnp.maximum(d1, d2)) & ~use13
+    d_best = jnp.where(use13, d2, jnp.where(use23, d3, d1))
+    inv = 1.0 / jnp.sqrt(jnp.maximum(d_best, 1e-30))
+    comps = []
+    for c in range(3):
+        v = jnp.where(use13, r13[c], jnp.where(use23, r23[c], r12[c]))
+        comps.append(v * inv)
+    return comps[0], comps[1], comps[2], lam
+
+
+def sym3eig_smallest(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form smallest eigenpair of batched symmetric 3x3 matrices
+    (array-of-matrices wrapper over :func:`sym3eig_smallest_components`).
+    cov: (..., 3, 3) -> (eigvec (..., 3), eigval (...,))."""
+    vx, vy, vz, lam = sym3eig_smallest_components(
+        cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+        cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2])
+    return jnp.stack([vx, vy, vz], axis=-1), lam
 
 
 def compute_normal_weight_robust(pc_map: jnp.ndarray, valid: jnp.ndarray,
@@ -252,7 +264,7 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
                  cur_dIdxy: jnp.ndarray, grad_ok: jnp.ndarray,
                  intr: jnp.ndarray, krkinv: jnp.ndarray, kt: jnp.ndarray,
                  min_grad_scale: float, max_depth_delta: float,
-                 bilinear: bool = True
+                 bilinear: bool = True, coord_stride: int = 1
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-pixel photometric residual + analytic 6-DoF Jacobian
     (photometric.cu:24-77).  Warps the *current* pixel into the previous frame
@@ -268,10 +280,17 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
     removes the quantization plateaus that stall Gauss-Newton near the optimum
     (depth gating and Jacobian geometry stay nearest-neighbor like the
     reference).  Pass ``bilinear=False`` for exact reference semantics.
+
+    ``coord_stride``: the *current*-frame inputs are a stride-s subsample of
+    the full image (pixel (i, j) sits at full-res coords (i*s, j*s)); the
+    previous frame stays full-res for lookups.  Random gathers are the TPU
+    bottleneck of this op, and a strided residual subset is an unbiased
+    subsample of the normal equations.
     """
-    h, w = cur_intensity.shape
-    u = jnp.arange(w, dtype=cur_depth.dtype)[None, :]
-    v = jnp.arange(h, dtype=cur_depth.dtype)[:, None]
+    h, w = prev_intensity.shape        # lookup/bounds resolution
+    hc, wc = cur_intensity.shape
+    u = (jnp.arange(wc, dtype=cur_depth.dtype) * coord_stride)[None, :]
+    v = (jnp.arange(hc, dtype=cur_depth.dtype) * coord_stride)[:, None]
 
     dI_dx = cur_dIdxy[..., 0]
     dI_dy = cur_dIdxy[..., 1]

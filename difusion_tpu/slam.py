@@ -72,10 +72,13 @@ class SLAMSystem:
                  mesh_resolution: int = 4,
                  max_triangles: int = 1 << 22,
                  mesh_max_std: float = 0.15,
-                 meshing: bool = True):
+                 meshing: bool = True,
+                 profile: bool = False):
         self.map_cfg = map_cfg
         self.enc_params = enc_params
         self.state = M.create_map_state(map_cfg)
+        tcfg = tcfg._replace(depth_cut_min=float(depth_cut[0]),
+                             depth_cut_max=float(depth_cut[1]))
         self.tracker = SDFTracker(map_cfg, tcfg, dec_params, spec, calib)
         self.mesher = MeshExtractor(map_cfg, dec_params, spec,
                                     voxel_resolution=mesh_resolution,
@@ -84,6 +87,9 @@ class SLAMSystem:
         self.depth_cut = depth_cut
         self.mesh_max_std = mesh_max_std
         self.first_iso: Optional[Isometry] = None
+        # profile=True inserts a device sync after each stage for per-stage
+        # timings; profile=False lets the whole frame dispatch asynchronously
+        self.profile = profile
         self.timings: Dict[str, List[float]] = {"track": [], "integrate": [], "mesh": []}
 
     @classmethod
@@ -109,34 +115,37 @@ class SLAMSystem:
 
     # -- per-frame step ------------------------------------------------------
 
-    def process_frame(self, frame: FrameData) -> Isometry:
+    def process_frame(self, frame: FrameData):
+        """Track (+ periodically fuse/mesh) one frame.  Returns the device
+        pose (ops.se3.Pose); use ``tracker.pose_at(-1)`` for an Isometry."""
         rgb = jnp.asarray(frame.rgb)
         depth = jnp.asarray(frame.depth)
-        ok = jnp.asarray(frame.depth_ok) \
-            & (depth >= self.depth_cut[0]) & (depth <= self.depth_cut[1])
 
         t0 = time.perf_counter()
         set_pose = None
-        if not self.tracker.all_pd_pose:
+        if self.tracker.n_tracked == 0:
             set_pose = self.first_iso if self.first_iso is not None else (
                 frame.gt_pose if frame.gt_pose is not None else Isometry())
-        pose = self.tracker.track_camera(self.state, rgb, depth, ok, set_pose)
-        jax.block_until_ready(self.tracker.last_processed.pts_cam)
-        self.timings["track"].append(time.perf_counter() - t0)
+        pose = self.tracker.track_camera(self.state, rgb, depth, set_pose)
+        if self.profile:
+            jax.block_until_ready(pose.t)
+            self.timings["track"].append(time.perf_counter() - t0)
 
-        n_done = len(self.tracker.all_pd_pose)
+        n_done = self.tracker.n_tracked
         if (n_done - 1) % self.integrate_interval == 0:
             t0 = time.perf_counter()
             w_pts, w_nrm, w_mask = self.tracker.last_pc_world(pose)
             self.state = M.integrate_keyframe(self.map_cfg, self.enc_params,
                                               self.state, w_pts, w_nrm, w_mask)
-            jax.block_until_ready(self.state.latents)
-            self.timings["integrate"].append(time.perf_counter() - t0)
+            if self.profile:
+                jax.block_until_ready(self.state.latents)
+                self.timings["integrate"].append(time.perf_counter() - t0)
 
             if self.mesher is not None:
                 t0 = time.perf_counter()
                 self.state = self.mesher.extract(self.state, max_std=self.mesh_max_std)
-                self.timings["mesh"].append(time.perf_counter() - t0)
+                if self.profile:
+                    self.timings["mesh"].append(time.perf_counter() - t0)
         return pose
 
     # -- offline driver ------------------------------------------------------
@@ -150,15 +159,17 @@ class SLAMSystem:
                 break
             pose = self.process_frame(frame)
             if i % 25 == 0:
-                logging.info("frame %d/%d  t=%s", i, n, np.round(pose.t, 3))
+                logging.info("frame %d/%d  t=%s", i, n,
+                             np.round(np.asarray(pose.t), 3))
+        trajectory = self.tracker.all_pd_pose
         result: Dict[str, Any] = {
-            "n_frames": len(self.tracker.all_pd_pose),
-            "trajectory": self.tracker.all_pd_pose,
+            "n_frames": len(trajectory),
+            "trajectory": trajectory,
             "n_voxels": int(self.state.n_occupied),
         }
         if sequence.gt_trajectory is not None:
-            gt = sequence.gt_trajectory[:len(self.tracker.all_pd_pose)]
-            result["ate_rmse"] = ate_rmse(gt, self.tracker.all_pd_pose)
+            gt = sequence.gt_trajectory[:len(trajectory)]
+            result["ate_rmse"] = ate_rmse(gt, trajectory)
         for k, v in self.timings.items():
             if v:
                 # drop warmup/compile frames from steady-state stats

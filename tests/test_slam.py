@@ -81,11 +81,10 @@ def test_slam_mapping_only_gt_poses(prior):
     system = _system(prior, integrate_interval=2)
     for i, frame in enumerate(seq):
         rgb, depth = jnp.asarray(frame.rgb), jnp.asarray(frame.depth)
-        ok = jnp.asarray(frame.depth_ok) & (depth >= 0.5) & (depth <= 5.0)
-        system.tracker.track_camera(system.state, rgb, depth, ok,
-                                    set_pose=frame.gt_pose)
+        pose = system.tracker.track_camera(system.state, rgb, depth,
+                                           set_pose=frame.gt_pose)
         if i % 2 == 0:
-            w_pts, w_nrm, w_mask = system.tracker.last_pc_world(frame.gt_pose)
+            w_pts, w_nrm, w_mask = system.tracker.last_pc_world(pose)
             system.state = M.integrate_keyframe(system.map_cfg, system.enc_params,
                                                 system.state, w_pts, w_nrm, w_mask)
     system.state = system.mesher.extract(system.state, max_std=0.3)

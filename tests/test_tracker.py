@@ -76,7 +76,7 @@ def test_preprocess_plane_frame():
     pose = Isometry()  # camera at origin looking +z
     rgb, depth, ok = render_plane_frame(pose, CALIB)
     tcfg = T.TrackerConfig(point_budget=4096)
-    out = T.preprocess_frame(tcfg, CALIB, rgb, depth, ok)
+    out = T.preprocess_frame(tcfg, CALIB, rgb, depth)
     mask = np.asarray(out.pc_mask)
     pts = np.asarray(out.pts_cam)[mask]
     nrm = np.asarray(out.normals_cam)[mask]
@@ -165,7 +165,7 @@ def test_two_frame_tracking_recovers_pose():
     rgb0, depth0, ok0 = render_surface_frame(pose0, CALIB, corrugation=0.1)
     tracker = T.SDFTracker(cfg, tcfg, dec, spec_d, CALIB)
     state = M.create_map_state(cfg)
-    p0 = tracker.track_camera(state, rgb0, depth0, ok0, set_pose=pose0)
+    p0 = tracker.track_camera(state, rgb0, depth0, set_pose=pose0)
 
     # fuse frame 0 at its (ground-truth) pose
     w_pts, w_nrm, w_mask = tracker.last_pc_world(p0)
@@ -176,7 +176,8 @@ def test_two_frame_tracking_recovers_pose():
     true_delta = Isometry.from_twist(np.array([0.01, -0.008, 0.012, 0.004, -0.003, 0.005]))
     pose1 = pose0.dot(true_delta)
     rgb1, depth1, ok1 = render_surface_frame(pose1, CALIB, corrugation=0.1)
-    p1 = tracker.track_camera(state, rgb1, depth1, ok1)
+    tracker.track_camera(state, rgb1, depth1)
+    p1 = tracker.pose_at(-1)
 
     err = (p1.inv().dot(pose1)).log()
     t_err = np.linalg.norm(err[:3])
