@@ -1,0 +1,151 @@
+"""Sampler/generator tests: primitive mesh sanity, z-buffer visibility,
+SDF accuracy against analytic shapes, and the end-to-end LIF generation ->
+training pipeline (BASELINE config-5 analog; capability parity with
+pytorch/sampler_cuda + dataset/training/main_generator.py)."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from difusion_tpu.config import dict_to_args
+from difusion_tpu.sampler import mesh_io, generator
+from difusion_tpu.sampler.sampler import (SamplerConfig, compute_sdf,
+                                          equidist_points_on_sphere,
+                                          generate_mesh_samples,
+                                          sample_on_triangles,
+                                          visible_surface_samples)
+from difusion_tpu.utils.motion import Isometry
+
+
+def _watertight(mesh):
+    edges = np.concatenate([mesh.faces[:, [0, 1]], mesh.faces[:, [1, 2]],
+                            mesh.faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    return (counts == 2).all()
+
+
+@pytest.mark.parametrize("mesh,center", [
+    (mesh_io.make_box(1.0, 0.8, 1.2), np.array([0.5, 0.4, 0.6])),
+    (mesh_io.make_sphere(0.5, 16), np.zeros(3)),
+    (mesh_io.make_cylinder(0.4, 1.0, 24), np.zeros(3)),
+])
+def test_primitives_outward_watertight(mesh, center):
+    assert _watertight(mesh)
+    normals = mesh.face_normals()
+    centroids = mesh.vertices[mesh.faces].mean(axis=1)
+    out = np.sum(normals * (centroids - center), axis=1)
+    assert (out > -1e-6).all(), out.min()
+
+
+def test_obj_roundtrip(tmp_path):
+    mesh = mesh_io.make_box()
+    mesh_io.save_obj(str(tmp_path / "m.obj"), mesh)
+    m2 = mesh_io.load_mesh(str(tmp_path / "m.obj"))
+    assert np.allclose(m2.vertices, mesh.vertices)
+    assert (m2.faces == mesh.faces).all()
+
+
+def test_area_weighted_sampling():
+    mesh = mesh_io.make_box(2.0, 1.0, 1.0)
+    rng = np.random.default_rng(0)
+    pts, tri = sample_on_triangles(mesh, 20000, rng)
+    # every point must lie on the box surface
+    on_face = ((np.isclose(pts[:, 0], 0, atol=1e-5)) | (np.isclose(pts[:, 0], 2, atol=1e-5))
+               | (np.isclose(pts[:, 1], 0, atol=1e-5)) | (np.isclose(pts[:, 1], 1, atol=1e-5))
+               | (np.isclose(pts[:, 2], 0, atol=1e-5)) | (np.isclose(pts[:, 2], 1, atol=1e-5)))
+    assert on_face.all()
+    # area weighting: the two 2x1 z-faces are twice as likely as the 1x1 x-faces
+    z_faces = np.isclose(pts[:, 2], 0, atol=1e-5) | np.isclose(pts[:, 2], 1, atol=1e-5)
+    x_faces = np.isclose(pts[:, 0], 0, atol=1e-5) | np.isclose(pts[:, 0], 2, atol=1e-5)
+    assert 1.6 < z_faces.sum() / x_faces.sum() < 2.4
+
+
+def _sphere_cams(n=60, dist=1.5):
+    return [Isometry.look_at(p * dist, np.zeros(3))
+            for p in equidist_points_on_sphere(n)]
+
+
+def test_visibility_culls_interior():
+    """An inner sphere nested in an outer sphere must be invisible."""
+    outer = mesh_io.make_sphere(0.5, 24)
+    inner = mesh_io.make_sphere(0.2, 16)
+    verts = np.concatenate([outer.vertices, inner.vertices])
+    faces = np.concatenate([outer.faces, inner.faces + len(outer.vertices)])
+    mesh = mesh_io.TriMesh(verts, faces.astype(np.int32))
+    rng = np.random.default_rng(1)
+    pts, nrm = visible_surface_samples(mesh, _sphere_cams(), 0.8, 40000, rng,
+                                       res=200)
+    r = np.linalg.norm(pts, axis=1)
+    assert (r > 0.4).mean() > 0.999, (r < 0.4).mean()
+    assert len(pts) > 10000
+    # normals point outward
+    assert (np.sum(nrm * pts, axis=1) > 0).mean() > 0.99
+
+
+def test_sdf_matches_analytic_sphere():
+    mesh = mesh_io.make_sphere(0.5, 32)
+    rng = np.random.default_rng(2)
+    cfg = SamplerConfig(num_sample=20000, n_surface_candidates=100000,
+                        zbuffer_res=200)
+    data, surface = generate_mesh_samples(mesh, _sphere_cams(), 0.8, cfg, rng)
+    assert len(data) > 15000          # few ambiguous votes on a smooth shape
+    assert len(surface) > 10000
+    analytic = np.linalg.norm(data[:, :3], axis=1) - 0.5
+    err = np.abs(data[:, 3] - analytic)
+    assert np.percentile(err, 95) < 0.01, np.percentile(err, 95)
+    # both signs present (near-surface perturbation straddles the surface)
+    assert (data[:, 3] > 0).mean() > 0.2
+    assert (data[:, 3] < 0).mean() > 0.1
+
+
+def test_generator_to_training_end_to_end(tmp_path):
+    """Config-5 analog: generate LIF payloads from simple shapes, then run
+    train steps on them (sampler -> generator -> dataset -> trainer)."""
+    args = dict_to_args(dict(
+        provider="simple_shape",
+        provider_kwargs=dict(n_shapes=2, seed=3),
+        output=str(tmp_path / "lifs"),
+        sampler_count=20000,
+        sampler_var=0.005,
+        voxel_size=0.4,
+        nn_size=2.0,
+        seed=4,
+    ))
+    cfg = SamplerConfig(num_sample=20000, n_surface_candidates=60000,
+                        zbuffer_res=200)
+    n_lifs = generator.run_generation(args, cfg)
+    assert n_lifs > 3
+
+    from difusion_tpu.train import lif_dataset as ldata
+    from difusion_tpu.train import trainer as TR
+    from difusion_tpu.train.losses import LossConfig
+    from difusion_tpu.models.decoder import DecoderSpec
+    from difusion_tpu.models.encoder import EncoderSpec
+
+    ds = ldata.LifDataset(str(tmp_path / "lifs"), num_sample=128,
+                          num_surface_sample=64, augment_rotation="Y")
+    samples, surf = ds[0]
+    assert samples.shape == (128, 4) and surf.shape == (64, 6)
+    # voxel-local coords: |xyz|_inf <= 1 (nn_size=2 chebyshev window), up to
+    # sqrt(2) after the Y-rotation augmentation
+    assert np.abs(samples[:, :3]).max() <= np.sqrt(2.0) + 0.01
+
+    state = TR.create_train_state(DecoderSpec(), EncoderSpec(), jax.random.key(0))
+    rng = np.random.default_rng(0)
+    key = jax.random.key(1)
+    losses0 = losses1 = None
+    for step in range(10):
+        batch = [ds[int(i)] for i in rng.integers(0, len(ds), 4)]
+        sdf = jnp.asarray(np.stack([b[0] for b in batch]))
+        sf = jnp.asarray(np.stack([b[1] for b in batch]))
+        key, sub = jax.random.split(key)
+        state, losses = TR.train_step(DecoderSpec(), LossConfig(), state, sdf,
+                                      sf, sub, jnp.float32(1e-3),
+                                      jnp.float32(1e-3), jnp.float32(1.0))
+        if step == 0:
+            losses0 = float(losses["total"])
+    assert float(losses["total"]) < losses0
