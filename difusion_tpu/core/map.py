@@ -263,6 +263,7 @@ def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def build_optimize_samples(cfg: MapConfig, state: MapState,
                            surface_xyz: jnp.ndarray, surface_normal: jnp.ndarray,
                            valid: jnp.ndarray, noise_key: jax.Array
@@ -297,6 +298,8 @@ def build_optimize_samples(cfg: MapConfig, state: MapState,
             rel.reshape(-1, 3), gt_sdf.reshape(-1), contrib.reshape(-1))
 
 
+@partial(jax.jit, static_argnames=("cfg", "spec", "n_iters", "lr",
+                                   "code_reg_lambda"))
 def optimize_latents(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
                      state: MapState, slot_ids: jnp.ndarray, rel_xyz: jnp.ndarray,
                      gt_sdf: jnp.ndarray, mask: jnp.ndarray,
@@ -341,6 +344,30 @@ def optimize_latents(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSp
     return state._replace(latents=latents,
                           optimized=state.optimized | touched,
                           mesh_dirty=state.mesh_dirty | touched)
+
+
+@jax.jit
+def merge_optimize_result(state: MapState, old_latents: jnp.ndarray,
+                          new_latents: jnp.ndarray, old_counts: jnp.ndarray,
+                          touched: jnp.ndarray) -> MapState:
+    """Merge an optimizer result computed from a snapshot into the current
+    state with **delta de-integration** re-weighting (reference
+    _update_optimize_result_set, map.py:321-335):
+
+        merged = (cur * n_cur + (new - old) * n_old) / n_cur
+
+    i.e. the optimizer's correction, weighted by the observation count it was
+    computed against, is re-applied on top of whatever fusion happened since
+    the snapshot.  This is what lets the optimizer run interleaved with
+    fusion (the reference's aux-GPU process; here XLA async dispatch)."""
+    n_cur = jnp.maximum(state.obs_count, 1e-12)
+    merged = (state.latents * n_cur[:, None]
+              + (new_latents - old_latents) * old_counts[:, None]) / n_cur[:, None]
+    apply = touched & (state.obs_count > 0)
+    latents = jnp.where(apply[:, None], merged, state.latents)
+    return state._replace(latents=latents,
+                          optimized=state.optimized | apply,
+                          mesh_dirty=state.mesh_dirty | apply)
 
 
 # ---------------------------------------------------------------------------

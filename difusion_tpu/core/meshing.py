@@ -3,8 +3,17 @@
 Orchestrates the reference ``extract_mesh`` flow (pytorch/system/map.py:581-723)
 around the TPU marching-cubes kernel: find dirty blocks, expand by the
 6-neighborhood, evaluate the decoder on each block's ``2r`` lattice, run sparse
-MC, and splice the result into a host-side triangle-soup cache keyed by block
-id (replacing the numba ``_get_valid_idx`` splice, map.py:20-26, 701-714).
+MC, and splice the result into a host-side triangle-soup cache (replacing the
+numba ``_get_valid_idx`` splice, map.py:20-26, 701-714).  The cache is keyed
+by latent SLOT id, which is stable for both map backends.
+
+Two backends share the driver:
+
+* :class:`MeshExtractor` -- dense-indexer map (bounded scenes).
+* :class:`HashMeshExtractor` -- hash-indexed map: each extraction builds a
+  temporary dense sub-grid over the bounding box of the involved cells, so
+  the same static-shape MC kernel runs unchanged (the sub-grid is a few
+  hundred KB of int32 on the worst frames).
 
 Block batches are padded to power-of-two buckets so the jitted kernel compiles
 a handful of times, not per frame.  The reference's hierarchical coarse-to-fine
@@ -25,6 +34,7 @@ import numpy as np
 from ..models.decoder import DecoderSpec, decode
 from ..ops.marching_cubes import marching_cubes_sparse, mc_triangles_np
 from ..ops.sampling import block_lattice
+from . import hash_map as HM
 from . import map as M
 
 
@@ -49,17 +59,20 @@ def _next_bucket(n: int, minimum: int = 64) -> int:
     return b
 
 
-class MeshExtractor:
-    """Stateful (host-side cache) incremental mesher.
+def _dilate6_cells(cells: np.ndarray) -> np.ndarray:
+    """Unique 6-neighborhood expansion of (K, 3) integer cells."""
+    offs = np.array([[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.int64)
+    out = (cells[:, None, :] + offs[None]).reshape(-1, 3)
+    return np.unique(out, axis=0)
 
-    Usage: ``state = extractor.extract(state)`` after integration; read
-    ``extractor.triangles()`` or export with ``write_obj``/``write_ply``.
-    """
 
-    def __init__(self, cfg: M.MapConfig, dec_params: Dict, spec: DecoderSpec,
+class _MeshExtractorBase:
+    """Shared cache + MC driving; subclasses resolve cells/slots."""
+
+    def __init__(self, dec_params: Dict, spec: DecoderSpec,
                  voxel_resolution: int = 4, max_triangles: int = 1 << 20,
                  interpolate: bool = True):
-        self.cfg = cfg
         self.dec_params = dec_params
         self.spec = spec
         self.r = int(voxel_resolution)
@@ -71,7 +84,7 @@ class MeshExtractor:
     def clear_cache(self):
         self._tris = np.zeros((0, 3, 3), np.float32)
         self._std = np.zeros((0, 3), np.float32)
-        self._block = np.zeros((0,), np.int64)
+        self._slot = np.zeros((0,), np.int64)
 
     def triangles(self) -> Tuple[np.ndarray, np.ndarray]:
         """Triangle soup: (T, 3, 3) world-space vertices, (T, 3) stds."""
@@ -82,63 +95,50 @@ class MeshExtractor:
         faces = np.arange(verts.shape[0]).reshape(-1, 3)
         return verts, faces
 
+    # -- subclass hooks --------------------------------------------------------
+    def _dirty_cells_slots(self, state, no_cache: bool):
+        """-> (cells (K, 3) int64, slots (K,) int) to re-mesh, after
+        6-neighborhood expansion and confidence filtering."""
+        raise NotImplementedError
+
+    def _local_grid(self, state, cells, slots):
+        """-> (indexer (n_local,), n_xyz_local, origin_cell (3,))."""
+        raise NotImplementedError
+
+    def _clear_dirty(self, state):
+        return state._replace(mesh_dirty=jnp.zeros_like(state.mesh_dirty))
+
     # -- extraction ----------------------------------------------------------
-    def extract(self, state: M.MapState, max_std: float = 2000.0,
-                no_cache: bool = False) -> M.MapState:
-        """Re-mesh blocks touched since the last call (plus neighbors) and
-        splice into the cache.  Returns the state with dirty flags cleared."""
-        cfg = self.cfg
-        dirty = np.asarray(state.mesh_dirty)
+    def extract(self, state, max_std: float = 2000.0, no_cache: bool = False):
         if no_cache:
-            dirty = np.asarray(state.obs_count) > 0
             self.clear_cache()
-        if not dirty.any():
-            return state
-
-        positions = np.asarray(state.positions)
-        indexer = np.asarray(state.indexer)
-        obs_count = np.asarray(state.obs_count)
-
-        focused_cells = positions[np.where(dirty)[0]]
-        focused_cells = focused_cells[focused_cells >= 0]
-        # expand by 6-neighborhood, keep allocated cells only
-        # (reference map.py:627-631 via _expand_flatten_id ensure_valid=True)
-        flag = np.zeros(cfg.n_cells, bool)
-        flag[focused_cells] = True
-        flag3 = flag.reshape(cfg.n_xyz)
-        out = flag3.copy()
-        for axis in range(3):
-            pad = [(1, 1) if a == axis else (0, 0) for a in range(3)]
-            padded = np.pad(flag3, pad)
-            lo = tuple(slice(0, -2) if a == axis else slice(None) for a in range(3))
-            hi = tuple(slice(2, None) if a == axis else slice(None) for a in range(3))
-            out |= padded[lo] | padded[hi]
-        cells = np.where(out.reshape(-1))[0]
-        slots = indexer[cells]
-        keep = slots >= 0
-        cells, slots = cells[keep], slots[keep]
-        # drop low-confidence voxels (reference map.py:631)
-        keep = obs_count[slots] > cfg.ignore_count_th
-        cells, slots = cells[keep], slots[keep]
-
-        state = state._replace(mesh_dirty=jnp.zeros_like(state.mesh_dirty))
+        cells, slots = self._dirty_cells_slots(state, no_cache)
+        state = self._clear_dirty(state)
         if len(cells) == 0:
             return state
 
+        indexer, n_xyz_local, origin = self._local_grid(state, cells, slots)
+        nxl, nyl, nzl = n_xyz_local
+        local = cells - origin[None, :]
+        lin_local = (local[:, 0] * nyl * nzl + local[:, 1] * nzl
+                     + local[:, 2]).astype(np.int32)
+
         B = _next_bucket(len(cells))
         valid_blocks = np.full(B, -1, np.int32)
-        valid_blocks[:len(cells)] = cells
+        valid_blocks[:len(cells)] = lin_local
         slot_pad = np.zeros(B, np.int32)
         slot_pad[:len(cells)] = slots
 
-        slot_to_batch = np.full(cfg.capacity + 1, -1, np.int32)
+        capacity = state.latents.shape[0]
+        slot_to_batch = np.full(capacity + 1, -1, np.int32)
         slot_to_batch[slots] = np.arange(len(cells), dtype=np.int32)
 
         latents = jnp.asarray(np.asarray(state.latents)[slot_pad])
         cube_sdf, cube_std = _eval_and_negate(self.dec_params, self.spec, latents, self.r)
         result = marching_cubes_sparse(
-            state.indexer, jnp.asarray(slot_to_batch), jnp.asarray(valid_blocks),
-            cube_sdf, cube_std, cfg.n_xyz, self.r, self.max_triangles,
+            jnp.asarray(indexer), jnp.asarray(slot_to_batch),
+            jnp.asarray(valid_blocks), cube_sdf, cube_std,
+            tuple(int(v) for v in n_xyz_local), self.r, self.max_triangles,
             max_std=max_std, interpolate=self.interpolate)
 
         tris, stds, blocks, count = mc_triangles_np(result)
@@ -146,18 +146,22 @@ class MeshExtractor:
             import logging
             logging.warning("marching cubes: triangle budget too small (%d > %d)",
                             count, self.max_triangles)
-        blocks = blocks.astype(np.int64)
 
-        # world space
-        tris = tris * cfg.voxel_size + np.asarray(cfg.bound_min, np.float32)
+        # world space: local grid units -> world meters
+        tris = (tris + origin[None, None, :].astype(np.float32)) \
+            * self.voxel_size + self.world_origin[None, None, :]
 
-        # splice: drop cached triangles belonging to re-meshed blocks
-        remeshed = np.zeros(cfg.n_cells, bool)
-        remeshed[cells] = True
-        keep_mask = ~remeshed[self._block] if len(self._block) else np.zeros(0, bool)
+        # per-triangle slot for the cache splice
+        lin_to_slot = np.full(nxl * nyl * nzl, -1, np.int64)
+        lin_to_slot[lin_local] = slots
+        tri_slot = lin_to_slot[blocks]
+
+        remeshed = np.zeros(capacity, bool)
+        remeshed[slots] = True
+        keep_mask = ~remeshed[self._slot] if len(self._slot) else np.zeros(0, bool)
         self._tris = np.concatenate([self._tris[keep_mask], tris])
         self._std = np.concatenate([self._std[keep_mask], stds])
-        self._block = np.concatenate([self._block[keep_mask], blocks])
+        self._slot = np.concatenate([self._slot[keep_mask], tri_slot])
         return state
 
     # -- export --------------------------------------------------------------
@@ -196,3 +200,88 @@ class MeshExtractor:
                 f.write(struct.pack("<fffBBB", v[0], v[1], v[2], c[0], c[1], c[2]))
             for face in faces:
                 f.write(struct.pack("<Biii", 3, face[0], face[1], face[2]))
+
+
+class MeshExtractor(_MeshExtractorBase):
+    """Dense-indexer backend (bounded scenes)."""
+
+    def __init__(self, cfg: M.MapConfig, dec_params: Dict, spec: DecoderSpec,
+                 **kw):
+        super().__init__(dec_params, spec, **kw)
+        self.cfg = cfg
+        self.voxel_size = cfg.voxel_size
+        self.world_origin = np.asarray(cfg.bound_min, np.float32)
+
+    def _dirty_cells_slots(self, state: M.MapState, no_cache: bool):
+        cfg = self.cfg
+        dirty = np.asarray(state.mesh_dirty)
+        if no_cache:
+            dirty = np.asarray(state.obs_count) > 0
+        if not dirty.any():
+            return np.zeros((0, 3), np.int64), np.zeros(0, np.int64)
+        positions = np.asarray(state.positions)
+        indexer = np.asarray(state.indexer)
+        obs_count = np.asarray(state.obs_count)
+
+        lin = positions[np.where(dirty)[0]]
+        lin = lin[lin >= 0]
+        nx, ny, nz = cfg.n_xyz
+        cells = np.stack([lin // (ny * nz), (lin // nz) % ny, lin % nz], axis=1)
+        cells = _dilate6_cells(cells)
+        inb = ((cells >= 0) & (cells < np.array(cfg.n_xyz))).all(axis=1)
+        cells = cells[inb]
+        lin = cells[:, 0] * ny * nz + cells[:, 1] * nz + cells[:, 2]
+        slots = indexer[lin]
+        keep = slots >= 0
+        cells, slots = cells[keep], slots[keep]
+        keep = obs_count[slots] > cfg.ignore_count_th   # reference map.py:631
+        return cells[keep], slots[keep].astype(np.int64)
+
+    def _local_grid(self, state, cells, slots):
+        # the dense map's own grid IS the local grid
+        return (np.asarray(state.indexer, np.int32), self.cfg.n_xyz,
+                np.zeros(3, np.int64))
+
+
+class HashMeshExtractor(_MeshExtractorBase):
+    """Hash-map backend: dense sub-grid over the involved cells per extract."""
+
+    def __init__(self, cfg: HM.HashMapConfig, dec_params: Dict,
+                 spec: DecoderSpec, **kw):
+        super().__init__(dec_params, spec, **kw)
+        self.cfg = cfg
+        self.voxel_size = cfg.voxel_size
+        self.world_origin = np.zeros(3, np.float32)
+
+    def _dirty_cells_slots(self, state: HM.HashMapState, no_cache: bool):
+        dirty = np.asarray(state.mesh_dirty)
+        if no_cache:
+            dirty = np.asarray(state.obs_count) > 0
+        if not dirty.any():
+            return np.zeros((0, 3), np.int64), np.zeros(0, np.int64)
+        slot_cell = np.asarray(state.slot_cell)
+        obs_count = np.asarray(state.obs_count)
+        n_occ = int(state.n_occupied)
+
+        # host map cell -> slot over occupied slots
+        occupied = {tuple(c): s for s, c in enumerate(slot_cell[:n_occ])}
+        cells = _dilate6_cells(slot_cell[np.where(dirty)[0]].astype(np.int64))
+        out_c, out_s = [], []
+        for c in cells:
+            s = occupied.get(tuple(c))
+            if s is not None and obs_count[s] > self.cfg.ignore_count_th:
+                out_c.append(c)
+                out_s.append(s)
+        if not out_c:
+            return np.zeros((0, 3), np.int64), np.zeros(0, np.int64)
+        return np.stack(out_c), np.asarray(out_s, np.int64)
+
+    def _local_grid(self, state, cells, slots):
+        lo = cells.min(axis=0) - 1
+        hi = cells.max(axis=0) + 2
+        n_xyz = tuple(int(v) for v in (hi - lo))
+        indexer = np.full(int(np.prod(n_xyz)), -1, np.int32)
+        local = cells - lo[None, :]
+        lin = local[:, 0] * n_xyz[1] * n_xyz[2] + local[:, 1] * n_xyz[2] + local[:, 2]
+        indexer[lin] = slots
+        return indexer, n_xyz, lo.astype(np.int64)

@@ -40,6 +40,7 @@ from ..ops.imgproc import Intrinsic, Pyramid
 from ..ops.pcproc import point_box_filter
 from ..ops.se3 import Pose, exp_twist
 from ..utils.motion import Isometry
+from . import hash_map as HM
 from . import map as M
 
 
@@ -235,9 +236,12 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
     (reference compute_sdf_Hg, tracker.py:174-218)."""
     y = delta.apply(pts)
 
+    query = (HM.query_sdf if isinstance(map_cfg, HM.HashMapConfig)
+             else M.query_sdf)
+
     def residual(y_pts):
         x = last.apply(y_pts)
-        sdf, std, valid = M.query_sdf(map_cfg, dec_params, spec, state, x)
+        sdf, std, valid = query(map_cfg, dec_params, spec, state, x)
         return sdf / jax.lax.stop_gradient(std), valid
 
     r, vjp_fn, valid = jax.vjp(residual, y, has_aux=True)

@@ -28,8 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import dict_to_args, load_yaml_args
+from .core import hash_map as HM
 from .core import map as M
-from .core.meshing import MeshExtractor
+from .core.meshing import HashMeshExtractor, MeshExtractor
 from .core.tracker import SDFTracker, TrackerConfig
 from .data import FrameData, RGBDSequence, open_sequence
 from .models.decoder import DecoderSpec, fold_decoder_params
@@ -73,20 +74,41 @@ class SLAMSystem:
                  max_triangles: int = 1 << 22,
                  mesh_max_std: float = 0.15,
                  meshing: bool = True,
-                 profile: bool = False):
+                 profile: bool = False,
+                 latent_optimize: bool = False,
+                 latent_optimize_mode: str = "interleaved",
+                 optim_n_iters: int = 20,
+                 code_reg_lambda: float = 0.0):
         self.map_cfg = map_cfg
         self.enc_params = enc_params
-        self.state = M.create_map_state(map_cfg)
+        self.is_hash = isinstance(map_cfg, HM.HashMapConfig)
+        self._map_mod = HM if self.is_hash else M
+        self.state = (HM.create_hash_map_state(map_cfg) if self.is_hash
+                      else M.create_map_state(map_cfg))
         tcfg = tcfg._replace(depth_cut_min=float(depth_cut[0]),
                              depth_cut_max=float(depth_cut[1]))
         self.tracker = SDFTracker(map_cfg, tcfg, dec_params, spec, calib)
-        self.mesher = MeshExtractor(map_cfg, dec_params, spec,
-                                    voxel_resolution=mesh_resolution,
-                                    max_triangles=max_triangles) if meshing else None
+        mesher_cls = HashMeshExtractor if self.is_hash else MeshExtractor
+        self.mesher = mesher_cls(map_cfg, dec_params, spec,
+                                 voxel_resolution=mesh_resolution,
+                                 max_triangles=max_triangles) if meshing else None
         self.integrate_interval = integrate_interval
         self.depth_cut = depth_cut
         self.mesh_max_std = mesh_max_std
         self.first_iso: Optional[Isometry] = None
+        # latent optimization of converged voxels (reference map.py step 3 +
+        # OptimizeProcess; default off like the reference main path,
+        # main.py:86).  "sync" commits immediately; "interleaved" merges the
+        # result at the NEXT integrate with delta de-integration, the analog
+        # of the reference's aux-GPU async process (XLA overlaps the work).
+        self.latent_optimize = latent_optimize and not self.is_hash
+        self.latent_optimize_mode = latent_optimize_mode
+        self.optim_n_iters = optim_n_iters
+        self.code_reg_lambda = code_reg_lambda
+        self._pending_opt = None
+        self._opt_key = jax.random.key(7)
+        self.dec_params = dec_params
+        self.spec = spec
         # profile=True inserts a device sync after each stage for per-stage
         # timings; profile=False lets the whole frame dispatch asynchronously
         self.profile = profile
@@ -101,8 +123,16 @@ class SLAMSystem:
         dec, enc, spec = load_prior(args.training_hypers, args.using_epoch)
         mapping = dict_to_args(args.mapping) if isinstance(args.mapping, dict) else args.mapping
         tracking = dict_to_args(args.tracking) if isinstance(args.tracking, dict) else args.tracking
-        map_cfg = M.MapConfig.from_args(mapping, latent_dim=spec.latent_size,
-                                        capacity=capacity)
+        # hash-indexed map when the scene is unbounded (no bounds in the
+        # config) or explicitly requested via `indexer: hash`
+        if getattr(mapping, "indexer", None) == "hash" \
+                or not hasattr(mapping, "bound_min"):
+            map_cfg = HM.HashMapConfig.from_args(mapping, latent_dim=spec.latent_size,
+                                                 capacity=capacity,
+                                                 table_size=4 * capacity)
+        else:
+            map_cfg = M.MapConfig.from_args(mapping, latent_dim=spec.latent_size,
+                                            capacity=capacity)
         tcfg = TrackerConfig.from_args(tracking, point_budget=point_budget)
         sys = cls(map_cfg, tcfg, dec, enc, spec, calib,
                   integrate_interval=int(getattr(args, "integrate_interval", 20)),
@@ -134,9 +164,30 @@ class SLAMSystem:
         n_done = self.tracker.n_tracked
         if (n_done - 1) % self.integrate_interval == 0:
             t0 = time.perf_counter()
+            # merge a pending optimizer result first (reference merges at the
+            # start of integrate_keyframe, map.py:360-363)
+            if self._pending_opt is not None:
+                old_lat, old_cnt, pre_optimized, opt_state = self._pending_opt
+                touched = opt_state.optimized & ~pre_optimized
+                self.state = M.merge_optimize_result(
+                    self.state, old_lat, opt_state.latents, old_cnt, touched)
+                self._pending_opt = None
             w_pts, w_nrm, w_mask = self.tracker.last_pc_world(pose)
-            self.state = M.integrate_keyframe(self.map_cfg, self.enc_params,
-                                              self.state, w_pts, w_nrm, w_mask)
+            self.state = self._map_mod.integrate_keyframe(
+                self.map_cfg, self.enc_params, self.state, w_pts, w_nrm, w_mask)
+            if self.latent_optimize:
+                self._opt_key, sub = jax.random.split(self._opt_key)
+                slot_ids, rel, gt, mask = M.build_optimize_samples(
+                    self.map_cfg, self.state, w_pts, w_nrm, w_mask, sub)
+                opt_state = M.optimize_latents(
+                    self.map_cfg, self.dec_params, self.spec, self.state,
+                    slot_ids, rel, gt, mask, n_iters=self.optim_n_iters,
+                    code_reg_lambda=self.code_reg_lambda)
+                if self.latent_optimize_mode == "sync":
+                    self.state = opt_state
+                else:
+                    self._pending_opt = (self.state.latents, self.state.obs_count,
+                                         self.state.optimized, opt_state)
             if self.profile:
                 jax.block_until_ready(self.state.latents)
                 self.timings["integrate"].append(time.perf_counter() - t0)
@@ -185,7 +236,7 @@ class SLAMSystem:
                 f.write(f"{i} {p.t[0]} {p.t[1]} {p.t[2]} {qx} {qy} {qz} {p.q.w}\n")
 
     def save_map(self, path: str):
-        M.save_map(path, self.map_cfg, self.state)
+        self._map_mod.save_map(path, self.map_cfg, self.state)
 
 
 def main(argv=None):

@@ -227,3 +227,45 @@ class TestOptimize:
         after = nll(state2.latents)
         assert after < before
         assert bool(jnp.any(state2.optimized))
+
+
+class TestMergeOptimizeResult:
+    def test_delta_deintegration_formula(self, nets):
+        """merged = (cur*n_cur + (new-old)*n_old)/n_cur (reference
+        map.py:321-335)."""
+        cfg = small_cfg()
+        state = M.create_map_state(cfg)
+        rng = np.random.default_rng(0)
+        cur = rng.normal(size=(cfg.capacity, cfg.latent_dim)).astype(np.float32)
+        old = rng.normal(size=(cfg.capacity, cfg.latent_dim)).astype(np.float32)
+        new = rng.normal(size=(cfg.capacity, cfg.latent_dim)).astype(np.float32)
+        n_cur = rng.uniform(1, 100, cfg.capacity).astype(np.float32)
+        n_old = rng.uniform(1, 100, cfg.capacity).astype(np.float32)
+        touched = rng.random(cfg.capacity) < 0.3
+        state = state._replace(latents=jnp.asarray(cur),
+                               obs_count=jnp.asarray(n_cur))
+        out = M.merge_optimize_result(state, jnp.asarray(old), jnp.asarray(new),
+                                      jnp.asarray(n_old), jnp.asarray(touched))
+        expect = (cur * n_cur[:, None] + (new - old) * n_old[:, None]) / n_cur[:, None]
+        got = np.asarray(out.latents)
+        # f32 cancellation amplified by n_old/n_cur ratios up to 100x
+        np.testing.assert_allclose(got[touched], expect[touched],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got[~touched], cur[~touched])
+        assert (np.asarray(out.optimized)[touched]).all()
+
+    def test_merge_without_interleaved_fusion_is_replacement(self, nets):
+        """If nothing fused since the snapshot (cur==old, n_cur==n_old), the
+        merge must reduce to plain replacement by the optimized latents."""
+        cfg = small_cfg()
+        rng = np.random.default_rng(1)
+        cur = rng.normal(size=(cfg.capacity, cfg.latent_dim)).astype(np.float32)
+        new = rng.normal(size=(cfg.capacity, cfg.latent_dim)).astype(np.float32)
+        n = rng.uniform(1, 100, cfg.capacity).astype(np.float32)
+        touched = jnp.ones(cfg.capacity, bool)
+        state = M.create_map_state(cfg)._replace(latents=jnp.asarray(cur),
+                                                 obs_count=jnp.asarray(n))
+        out = M.merge_optimize_result(state, jnp.asarray(cur), jnp.asarray(new),
+                                      jnp.asarray(n), touched)
+        np.testing.assert_allclose(np.asarray(out.latents), new,
+                                   rtol=1e-4, atol=1e-5)

@@ -90,3 +90,52 @@ def test_slam_mapping_only_gt_poses(prior):
     system.state = system.mesher.extract(system.state, max_std=0.3)
     tris, _ = system.mesher.triangles()
     assert len(tris) > 100
+
+
+def test_slam_hash_map_backend(prior):
+    """BASELINE config-4 capability: same SLAM flow on the hash-indexed map
+    (unbounded scene, no precomputed bounds)."""
+    from difusion_tpu.core import hash_map as H
+    dec, enc, spec = prior
+    map_cfg = H.HashMapConfig(voxel_size=0.1, latent_dim=29, capacity=1 << 14,
+                              table_size=1 << 16, prune_min_vox_obs=4,
+                              ignore_count_th=1.0, encoder_count_th=600.0)
+    tcfg = TrackerConfig(point_budget=8192)
+    calib = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
+    system = SLAMSystem(map_cfg, tcfg, dec, enc, spec, calib,
+                        integrate_interval=4, depth_cut=(0.5, 5.0),
+                        mesh_resolution=2, max_triangles=1 << 18)
+    seq = SyntheticSequence(n_frames=9, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    result = system.run_sequence(seq)
+    assert result["n_voxels"] > 50
+    assert result["ate_rmse"] < 0.012, result
+    tris, _ = system.mesher.triangles()
+    assert len(tris) > 100
+    z_rel = tris[..., 2] - (2.0 + 0.1 * (np.sin(5.0 * tris[..., 0])
+                                         + 0.7 * np.cos(4.0 * tris[..., 1])))
+    assert np.abs(z_rel).mean() < 0.08
+
+
+@pytest.mark.parametrize("mode", ["sync", "interleaved"])
+def test_slam_with_latent_optimization(prior, mode):
+    """Latent-optimize branch (reference map.py step 3 + OptimizeProcess):
+    converged voxels get Adam-refined latents without breaking tracking."""
+    seq = SyntheticSequence(n_frames=7, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    dec, enc, spec = prior
+    map_cfg = M.MapConfig(bound_min=(-2.0, -2.0, -0.5), n_xyz=(40, 40, 40),
+                          voxel_size=0.1, latent_dim=29, capacity=1 << 14,
+                          prune_min_vox_obs=4, ignore_count_th=1.0,
+                          encoder_count_th=50.0)   # low so voxels converge fast
+    tcfg = TrackerConfig(point_budget=8192)
+    calib = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
+    system = SLAMSystem(map_cfg, tcfg, dec, enc, spec, calib,
+                        integrate_interval=2, depth_cut=(0.5, 5.0),
+                        meshing=False, latent_optimize=True,
+                        latent_optimize_mode=mode, optim_n_iters=5)
+    result = system.run_sequence(seq)
+    assert result["ate_rmse"] < 0.02, result
+    assert bool(np.asarray(system.state.optimized).any())
