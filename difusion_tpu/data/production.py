@@ -62,13 +62,29 @@ class RGBDSequence:
 
 
 def _imread_color(path: str) -> np.ndarray:
+    # kept uint8: frames upload to device at 1/4 the bytes and convert there
+    if path.lower().endswith(".png"):
+        from . import native_io
+        if native_io.native_available():
+            try:
+                img = native_io.read_png(path)
+                return img[:, :, :3] if img.ndim == 3 else \
+                    np.repeat(img[:, :, None].astype(np.uint8), 3, axis=2)
+            except ValueError:
+                pass   # unsupported PNG variant -> cv2
     import cv2
     img = cv2.imread(path)
-    # kept uint8: frames upload to device at 1/4 the bytes and convert there
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
 def _imread_depth_raw(path: str) -> np.ndarray:
+    if path.lower().endswith(".png"):
+        from . import native_io
+        if native_io.native_available():
+            try:
+                return native_io.read_png(path).astype(np.float32)
+            except ValueError:
+                pass
     import cv2
     return cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.float32)
 
