@@ -72,10 +72,10 @@ class TrackerConfig(NamedTuple):
     # to reproduce reference scheduling exactly.
     xi_tol: float = 1e-5
     energy_rel_tol: float = 1e-4
-    # evaluate the photometric term on a stride-s pixel subset of levels 0-1:
-    # the warp's random gathers dominate GN wall time on TPU, and a strided
-    # subset is an unbiased subsample of the normal equations (the reference
-    # uses every pixel; set 1 for exact parity)
+    # evaluate the photometric term on a stride-s pixel subset of every
+    # pyramid level: the warp's random gathers dominate GN wall time on TPU,
+    # and a strided subset is an unbiased subsample of the normal equations
+    # (the reference uses every pixel; set 1 for exact parity)
     rgb_stride: int = 2
     # depth observation range (reference main.py:67-68, configs yaml:20-21)
     depth_cut_min: float = 0.5
@@ -175,6 +175,30 @@ def _window_stats(pc_map: jnp.ndarray, valid: jnp.ndarray, window: int,
     normal = jnp.stack([vx, vy, vz], axis=-1)
     normal_ok = valid & (cnt >= min_nb)
     return outlier_ok, normal, normal_ok
+
+
+def pack_frame(rgb: np.ndarray, depth: np.ndarray) -> np.ndarray:
+    """Concatenate a frame's raw arrays into ONE 1-D uint8 buffer.  On
+    tunneled/remote device transports every transfer pays a round trip, so
+    the pipeline ships one buffer per frame and splits it in-jit
+    (:func:`preprocess_frame_packed`)."""
+    return np.concatenate([np.ascontiguousarray(rgb).view(np.uint8).ravel(),
+                           np.ascontiguousarray(depth).view(np.uint8).ravel()])
+
+
+@partial(jax.jit, static_argnames=("tcfg", "calib", "h", "w", "depth_dtype"))
+def preprocess_frame_packed(tcfg: TrackerConfig, calib: Intrinsic,
+                            packed: jnp.ndarray, h: int, w: int,
+                            depth_dtype: str) -> ProcessedFrame:
+    """:func:`preprocess_frame` over a :func:`pack_frame` buffer."""
+    n_rgb = h * w * 3
+    rgb = packed[:n_rgb].reshape(h, w, 3)
+    draw = packed[n_rgb:]
+    if depth_dtype == "uint16":
+        depth = jax.lax.bitcast_convert_type(draw.reshape(h, w, 2), jnp.uint16)
+    else:
+        depth = jax.lax.bitcast_convert_type(draw.reshape(h, w, 4), jnp.float32)
+    return preprocess_frame(tcfg, calib, rgb, depth)
 
 
 @partial(jax.jit, static_argnames=("tcfg", "calib"))
@@ -277,7 +301,7 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     kt = K @ delta.t
     intr = jnp.array([fx, fy, cx, cy])
 
-    st = tcfg.rgb_stride if level <= 1 else 1
+    st = tcfg.rgb_stride
     f, J, ok = imgproc.rgb_odometry(
         prev.intensity[level], prev.depth[level], prev.depth_ok[level],
         cur.intensity[level][::st, ::st], cur.depth[level][::st, ::st],
@@ -446,14 +470,30 @@ class SDFTracker:
 
     @property
     def all_pd_pose(self) -> list:
-        """Pose history as host Isometries (forces a device sync)."""
-        return [self.pose_at(i) for i in range(len(self.pose_history))]
+        """Pose history as host Isometries.  The whole history transfers as
+        two stacked arrays (one round trip each), not per pose."""
+        if not self.pose_history:
+            return []
+        Rs = np.asarray(jnp.stack([p.R for p in self.pose_history]), np.float64)
+        ts = np.asarray(jnp.stack([p.t for p in self.pose_history]), np.float64)
+        return [Isometry.from_matrix(R, t, ortho=True) for R, t in zip(Rs, ts)]
 
     def track_camera(self, state: M.MapState, rgb: jnp.ndarray,
                      depth: jnp.ndarray,
                      set_pose: Optional[Isometry] = None) -> Pose:
         processed = preprocess_frame(self.tcfg, self.calib, rgb, depth)
+        return self._track_processed(state, processed, set_pose)
 
+    def track_camera_packed(self, state: M.MapState, packed: jnp.ndarray,
+                            h: int, w: int, depth_dtype: str,
+                            set_pose: Optional[Isometry] = None) -> Pose:
+        """Track from a :func:`pack_frame` buffer (one upload per frame)."""
+        processed = preprocess_frame_packed(self.tcfg, self.calib, packed,
+                                            h, w, depth_dtype)
+        return self._track_processed(state, processed, set_pose)
+
+    def _track_processed(self, state: M.MapState, processed: ProcessedFrame,
+                         set_pose: Optional[Isometry]) -> Pose:
         if set_pose is not None:
             final_pose = Pose(
                 jnp.asarray(set_pose.q.rotation_matrix.astype(np.float32)),

@@ -36,7 +36,8 @@ class FrameData:
                  calib: FrameIntrinsic, gt_pose: Optional[Isometry] = None,
                  frame_id: int = -1):
         self.rgb = rgb              # (H, W, 3) uint8, or f32 in [0, 1]
-        self.depth = depth          # (H, W) f32 metric
+        self.depth = depth          # (H, W): uint16 raw units (divide by
+                                    # calib.dcam_scale for meters) or f32 meters
         self.depth_ok = depth_ok    # (H, W) bool sensor validity
         self.calib = calib
         self.gt_pose = gt_pose
@@ -145,8 +146,10 @@ class ICLNUIMSequence(RGBDSequence):
     def __next__(self) -> FrameData:
         if self.frame_id >= len(self):
             raise StopIteration
-        depth = _imread_depth_raw(str(self.path / self.depth_names[self.frame_id])) \
-            / self.CALIB.dcam_scale
+        # raw uint16 units: halves the upload and converts on device
+        # (preprocess_frame divides by calib.dcam_scale)
+        depth = _imread_depth_raw(str(self.path / self.depth_names[self.frame_id]))
+        depth = depth.astype(np.uint16)
         rgb = _imread_color(str(self.path / self.color_names[self.frame_id]))
         ok = depth > 0
         gt = self.gt_trajectory[self.frame_id] if self.gt_trajectory else None
@@ -186,7 +189,7 @@ class ScanNetSequence(RGBDSequence):
         if self.frame_id >= len(self):
             raise StopIteration
         i = self.ids[self.frame_id]
-        depth = _imread_depth_raw(str(self.path / "depth" / f"{i}.png")) / 1000.0
+        depth = _imread_depth_raw(str(self.path / "depth" / f"{i}.png")).astype(np.uint16)
         rgb = _imread_color(str(self.path / "color" / f"{i}.jpg"))
         if rgb.shape[:2] != depth.shape:
             rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]),
@@ -260,6 +263,7 @@ class SyntheticSequence(RGBDSequence):
             raise StopIteration
         pose = self.gt_trajectory[self.frame_id]
         rgb, depth, ok = self.render(pose)
+        depth = np.clip(depth * self.calib.dcam_scale, 0, 65535).astype(np.uint16)
         fd = FrameData(rgb, depth, ok, self.calib, pose, self.frame_id)
         self.frame_id += 1
         return fd

@@ -31,6 +31,7 @@ from .config import dict_to_args, load_yaml_args
 from .core import hash_map as HM
 from .core import map as M
 from .core.meshing import HashMeshExtractor, MeshExtractor
+from .core import tracker as tracker_mod
 from .core.tracker import SDFTracker, TrackerConfig
 from .data import FrameData, RGBDSequence, open_sequence
 from .models.decoder import DecoderSpec, fold_decoder_params
@@ -145,18 +146,23 @@ class SLAMSystem:
 
     # -- per-frame step ------------------------------------------------------
 
-    def process_frame(self, frame: FrameData):
+    def process_frame(self, frame: FrameData,
+                      packed: Optional[jnp.ndarray] = None):
         """Track (+ periodically fuse/mesh) one frame.  Returns the device
-        pose (ops.se3.Pose); use ``tracker.pose_at(-1)`` for an Isometry."""
-        rgb = jnp.asarray(frame.rgb)
-        depth = jnp.asarray(frame.depth)
+        pose (ops.se3.Pose); use ``tracker.pose_at(-1)`` for an Isometry.
 
+        ``packed``: optionally a device-resident :func:`pack_frame` buffer
+        for this frame (from the upload pipeline); avoids re-uploading."""
         t0 = time.perf_counter()
         set_pose = None
         if self.tracker.n_tracked == 0:
             set_pose = self.first_iso if self.first_iso is not None else (
                 frame.gt_pose if frame.gt_pose is not None else Isometry())
-        pose = self.tracker.track_camera(self.state, rgb, depth, set_pose)
+        h, w = frame.depth.shape
+        if packed is None:
+            packed = jnp.asarray(tracker_mod.pack_frame(frame.rgb, frame.depth))
+        pose = self.tracker.track_camera_packed(
+            self.state, packed, h, w, str(frame.depth.dtype), set_pose)
         if self.profile:
             jax.block_until_ready(pose.t)
             self.timings["track"].append(time.perf_counter() - t0)
@@ -202,23 +208,55 @@ class SLAMSystem:
     # -- offline driver ------------------------------------------------------
 
     def run_sequence(self, sequence: RGBDSequence,
-                     max_frames: int = -1) -> Dict[str, Any]:
+                     max_frames: int = -1,
+                     prefetch: int = 3) -> Dict[str, Any]:
+        """Run the full sequence with a background load+upload pipeline: a
+        side thread decodes/renders frames, packs them into one buffer each
+        and issues the host->device transfer, overlapping IO and transfer
+        latency with the device compute of previous frames."""
+        import queue
+        import threading
+
         n = len(sequence) if max_frames < 0 else min(max_frames, len(sequence))
         self.first_iso = self.first_iso or sequence.first_iso
-        for i, frame in enumerate(sequence):
-            if i >= n:
+        start = self.tracker.n_tracked   # this call's slice of the history
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+
+        def feeder():
+            try:
+                for i, frame in enumerate(sequence):
+                    if i >= n:
+                        break
+                    packed = jnp.asarray(tracker_mod.pack_frame(frame.rgb,
+                                                                frame.depth))
+                    q.put((frame, packed))
+            except Exception as e:          # surface loader errors downstream
+                q.put(e)
+            q.put(None)
+
+        threading.Thread(target=feeder, daemon=True).start()
+        i = 0
+        while True:
+            item = q.get()
+            if item is None:
                 break
-            pose = self.process_frame(frame)
+            if isinstance(item, Exception):
+                raise item
+            frame, packed = item
+            pose = self.process_frame(frame, packed=packed)
             if i % 25 == 0:
                 logging.info("frame %d/%d  t=%s", i, n,
                              np.round(np.asarray(pose.t), 3))
-        trajectory = self.tracker.all_pd_pose
+            i += 1
+        trajectory = self.tracker.all_pd_pose[start:]
         result: Dict[str, Any] = {
             "n_frames": len(trajectory),
             "trajectory": trajectory,
             "n_voxels": int(self.state.n_occupied),
         }
-        if sequence.gt_trajectory is not None:
+        if sequence.gt_trajectory is not None and all(
+                g is not None for g in sequence.gt_trajectory[:len(trajectory)]):
             gt = sequence.gt_trajectory[:len(trajectory)]
             result["ate_rmse"] = ate_rmse(gt, trajectory)
         for k, v in self.timings.items():

@@ -44,8 +44,9 @@ def test_icl_sequence_iteration(tmp_path):
     assert len(frames) == 5
     f = frames[0]
     assert f.rgb.shape == (48, 64, 3) and f.rgb.dtype == np.uint8
-    assert f.depth.shape == (48, 64) and f.depth.dtype == np.float32
-    assert f.depth.max() <= 4.1 and f.depth.min() >= 0.4   # /5000 applied
+    assert f.depth.shape == (48, 64) and f.depth.dtype == np.uint16
+    d_m = f.depth / f.calib.dcam_scale
+    assert d_m.max() <= 4.1 and d_m.min() >= 0.4
     assert f.calib.fx == 481.2 and f.calib.dcam_scale == 5000.0
 
     # start/end slicing
