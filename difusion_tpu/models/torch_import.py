@@ -158,3 +158,74 @@ def load_params_npz(path: str) -> Dict[str, Any]:
         top, rest = key.split(".", 1)
         grouped.setdefault(top, {})[rest] = data[key]
     return {name: _unflatten(flat) for name, flat in grouped.items()}
+
+
+# ---------------------------------------------------------------------------
+# Export back to the reference's torch checkpoint format (the reverse of the
+# import above; analog of the Jittor tree's convert.py, jittor/convert.py:5-33)
+# ---------------------------------------------------------------------------
+
+
+def decoder_state_dict_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Train-form decoder params -> torch state dict (weight-norm split)."""
+    import torch
+    state = {}
+    for i, layer in enumerate(params["layers"]):
+        prefix = f"lin{i}"
+        if "g" in layer:
+            state[f"{prefix}.weight_g"] = torch.from_numpy(
+                np.asarray(layer["g"]).reshape(-1, 1).copy())
+            state[f"{prefix}.weight_v"] = torch.from_numpy(np.asarray(layer["v"]).copy())
+        else:
+            state[f"{prefix}.weight"] = torch.from_numpy(np.asarray(layer["w"]).copy())
+        state[f"{prefix}.bias"] = torch.from_numpy(np.asarray(layer["b"]).copy())
+    state["uncertainty_layer.weight"] = torch.from_numpy(
+        np.asarray(params["uncertainty"]["w"]).copy())
+    state["uncertainty_layer.bias"] = torch.from_numpy(
+        np.asarray(params["uncertainty"]["b"]).copy())
+    return state
+
+
+def encoder_state_dict_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Train-form encoder params -> torch state dict (BN stats preserved)."""
+    import torch
+    state = {}
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        prefix = f"mlp.layer{i}"
+        w = np.asarray(layer["w"])[:, :, None]          # (out, in, 1) conv1d
+        state[f"{prefix}.conv.weight"] = torch.from_numpy(w.copy())
+        if "bn_mean" in layer:
+            state[f"{prefix}.normlayer.bn.weight"] = torch.from_numpy(
+                np.asarray(layer["bn_scale"]).copy())
+            state[f"{prefix}.normlayer.bn.bias"] = torch.from_numpy(
+                np.asarray(layer["bn_bias"]).copy())
+            state[f"{prefix}.normlayer.bn.running_mean"] = torch.from_numpy(
+                np.asarray(layer["bn_mean"]).copy())
+            state[f"{prefix}.normlayer.bn.running_var"] = torch.from_numpy(
+                np.asarray(layer["bn_var"]).copy())
+            state[f"{prefix}.normlayer.bn.num_batches_tracked"] = torch.zeros(
+                (), dtype=torch.long)
+        else:
+            state[f"{prefix}.conv.bias"] = torch.from_numpy(
+                np.asarray(layer["b"]).copy())
+    return state
+
+
+def save_torch_prior(exp_dir: str, epoch: int, dec_params: Dict[str, Any],
+                     enc_params: Dict[str, Any], hyper: dict):
+    """Write model_E.pth.tar / encoder_E.pth.tar / hyper.json in the
+    reference layout (network_trainer.py:206-219) so a prior trained here
+    drops into the reference PyTorch runtime."""
+    import torch
+    exp_dir = Path(exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    torch.save({"epoch": epoch,
+                "model_state": decoder_state_dict_from_params(dec_params)},
+               exp_dir / f"model_{epoch}.pth.tar")
+    torch.save({"epoch": epoch,
+                "model_state": encoder_state_dict_from_params(enc_params)},
+               exp_dir / f"encoder_{epoch}.pth.tar")
+    hyper_path = exp_dir / "hyper.json"
+    if not hyper_path.exists():
+        hyper_path.write_text(json.dumps(hyper, indent=2, default=str))

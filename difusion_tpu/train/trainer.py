@@ -177,6 +177,10 @@ def save_checkpoint(save_dir: Path, epoch: int, state: TrainState, hyper: dict):
     enc_np = jax.tree.map(np.asarray, state.enc_params)
     TI.save_params_npz(str(save_dir / f"prior_{epoch}.npz"),
                        decoder=dec_np, encoder=enc_np)
+    try:   # reference-format .pth.tar so the torch runtime can consume it
+        TI.save_torch_prior(str(save_dir), epoch, dec_np, enc_np, hyper)
+    except ImportError:
+        pass
     opt_np = jax.tree.map(np.asarray, state.opt_state)
     flat, treedef = jax.tree.flatten(opt_np)
     np.savez_compressed(save_dir / f"training_{epoch}.npz",

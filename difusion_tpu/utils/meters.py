@@ -95,3 +95,34 @@ class RunningAverageMeter:
 
     def get_loss_dict(self):
         return dict(self.loss_dict)
+
+
+class CombinedChunkLoss:
+    """Accumulate named losses across gradient-accumulation chunks (parity
+    with reference exp_util.CombinedChunkLoss, utils/exp_util.py:231-256)."""
+
+    def __init__(self):
+        self.loss_dict = None
+        self.loss_sum_dict = None
+        self.clear()
+
+    def add_loss(self, name, val):
+        self.loss_dict[name] = val
+        self.loss_sum_dict[name] += float(val)
+
+    def update_loss_dict(self, loss_dict: dict):
+        for name, val in loss_dict.items():
+            self.add_loss(name, val)
+
+    def get_total_loss(self):
+        total = sum(self.loss_dict.values())
+        self.loss_dict = {}
+        return total
+
+    def get_accumulated_loss_dict(self):
+        return self.loss_sum_dict
+
+    def clear(self):
+        from collections import defaultdict
+        self.loss_dict = {}
+        self.loss_sum_dict = defaultdict(float)

@@ -269,3 +269,61 @@ class TestMergeOptimizeResult:
                                       jnp.asarray(n), touched)
         np.testing.assert_allclose(np.asarray(out.latents), new,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestSegmentOps:
+    def test_pack_batch_matches_reference_semantics(self):
+        from difusion_tpu.ops.segment import pack_batch
+        rng = np.random.default_rng(0)
+        gids = jnp.asarray(rng.integers(0, 5, 64).astype(np.int32))
+        packed, counts = pack_batch(gids, n_batch=5, n_point=8)
+        packed, counts = np.asarray(packed), np.asarray(counts)
+        g = np.asarray(gids)
+        for b in range(5):
+            members = set(np.where(g == b)[0].tolist())
+            got = [i for i in packed[b] if i >= 0]
+            assert counts[b] == min(len(members), 8)
+            assert len(got) == counts[b]
+            assert set(got) <= members
+            # slots after count are padding
+            assert (packed[b, counts[b]:] == -1).all()
+
+    def test_pack_samples_draws_from_own_group(self):
+        from difusion_tpu.ops.segment import pack_samples
+        rng = np.random.default_rng(1)
+        idxr = jnp.asarray(rng.integers(0, 6, 128).astype(np.int32))
+        vals = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+        packed, ok = pack_samples(idxr, count=4, key=jax.random.key(0),
+                                  max_batches=8, sample_values=vals)
+        packed, ok = np.asarray(packed), np.asarray(ok)
+        assert ok[:6].all() and not ok[6:].any()
+        v = np.asarray(vals)
+        g = np.asarray(idxr)
+        uniq = np.unique(g)   # groups ordered by value = segment order
+        for b in range(6):
+            members = v[g == uniq[b]]
+            for row in packed[b]:
+                assert any(np.allclose(row, m) for m in members)
+
+
+class TestVisuals:
+    def test_map_visuals(self, nets, tmp_path):
+        from difusion_tpu.core import visuals as V
+        dec, enc = nets
+        cfg = small_cfg(prune_min_vox_obs=0, ignore_count_th=0.0)
+        state = M.create_map_state(cfg)
+        pts, nrm = plane_cloud(4000)
+        state = M.integrate_keyframe(cfg, enc, state, pts, nrm,
+                                     jnp.ones(pts.shape[0], bool))
+        fast = V.get_fast_preview_visuals(cfg, state)
+        assert len(fast.block_starts) > 10
+        assert fast.block_size == cfg.voxel_size
+
+        vis = V.get_map_visuals(cfg, dec, SPEC_D, state, voxel_resolution=4)
+        assert vis.sample_xyz.shape[0] == len(vis.sample_sdf)
+        assert 0.0 <= vis.sample_sdf.min() and vis.sample_sdf.max() <= 1.0
+        # sample positions fall inside their blocks' world extent
+        assert vis.sample_xyz.min() >= np.asarray(cfg.bound_min).min() - 1e-5
+        V.write_pointcloud_ply(str(tmp_path / "s.ply"), vis.sample_xyz,
+                               vis.sample_sdf)
+        assert (tmp_path / "s.ply").stat().st_size > 100

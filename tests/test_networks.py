@@ -150,3 +150,15 @@ def test_random_init_shapes():
                       jnp.zeros((8, 29)), jnp.zeros((8, 3)))
     assert sdf.shape == (8,) and std.shape == (8,)
     assert np.all(np.asarray(std) > 0.05)
+
+
+def test_torch_export_roundtrip(prior, tmp_path):
+    """Export to the reference's .pth.tar layout and re-import: bit equality
+    (the two-way analog of jittor/convert.py)."""
+    dec, enc, spec_d, spec_e, hyper = prior
+    TI.save_torch_prior(str(tmp_path), 42, dec, enc, hyper)
+    dec2, enc2, _, _, _ = TI.load_torch_prior(str(tmp_path / "hyper.json"), 42)
+    for a, b in zip(jax.tree.leaves(dec), jax.tree.leaves(dec2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(enc), jax.tree.leaves(enc2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
