@@ -284,6 +284,10 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=-1)
     parser.add_argument("--output", type=str, default="slam_out")
     parser.add_argument("--no-mesh", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-stage device-synced timings")
+    parser.add_argument("--xprof", type=str, default="",
+                        help="capture a jax profiler trace into this dir")
     cli = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -294,7 +298,13 @@ def main(argv=None):
     calib = seq.calib if hasattr(seq, "calib") else None
     system = SLAMSystem.from_config(args, calib, seq.first_iso,
                                     meshing=not cli.no_mesh)
-    result = system.run_sequence(seq, cli.max_frames)
+    system.profile = cli.profile
+    if cli.xprof:
+        import jax.profiler
+        with jax.profiler.trace(cli.xprof):
+            result = system.run_sequence(seq, cli.max_frames)
+    else:
+        result = system.run_sequence(seq, cli.max_frames)
 
     out = Path(cli.output)
     out.mkdir(parents=True, exist_ok=True)

@@ -143,10 +143,16 @@ def train_step(spec_d: DecoderSpec, loss_cfg: LossConfig, state: TrainState,
 # ---------------------------------------------------------------------------
 
 
-def make_mesh(n_devices: int = -1):
+def make_mesh(n_devices: int = -1, tp: int = 1):
+    """1-D data mesh, or a 2-D (data, model) mesh when ``tp`` > 1."""
     devices = jax.devices()
     if n_devices > 0:
         devices = devices[:n_devices]
+    if tp > 1:
+        assert len(devices) % tp == 0
+        return jax.sharding.Mesh(
+            np.array(devices).reshape(len(devices) // tp, tp),
+            ("data", "model"))
     return jax.sharding.Mesh(np.array(devices), ("data",))
 
 
@@ -159,6 +165,33 @@ def shard_batch(mesh, *arrays):
 def replicate(mesh, tree):
     sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def shard_state_tp(state: TrainState, mesh) -> TrainState:
+    """Tensor-parallel placement over a (data, model) mesh: every weight
+    matrix shards its output dimension on the "model" axis (column-parallel;
+    GSPMD inserts the inter-layer all-gathers), per-output vectors shard
+    alongside, everything else replicates.  The reference has no model
+    parallelism at all (SURVEY.md section 2.9) -- this is the scaling lever
+    for wider priors than the shipped 128-hidden MLPs."""
+    P = jax.sharding.PartitionSpec
+    tp = mesh.shape["model"]
+
+    def spec_for(path, a):
+        if a.ndim == 2 and a.shape[0] % tp == 0:
+            return P("model", None)
+        if a.ndim == 1 and a.shape[0] % tp == 0 and a.shape[0] > 4:
+            return P("model")
+        return P()
+
+    def place(tree):
+        # Adam moments mirror parameter shapes, so the same rule shards them
+        return jax.tree.map(
+            lambda a: jax.device_put(
+                a, jax.sharding.NamedSharding(mesh, spec_for(None, a))), tree)
+
+    return TrainState(place(state.dec_params), place(state.enc_params),
+                      place(state.opt_state), replicate(mesh, state.step))
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +258,12 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
     logging.info("dataset: %d LIFs", len(dataset))
 
     state = create_train_state(spec_d, spec_e, jax.random.key(0))
-    mesh = make_mesh()
-    multi = len(mesh.devices.reshape(-1)) > 1
+    import math
+    n_dev = math.gcd(int(hyper["batch_size"]), len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    multi = n_dev > 1
     if multi:
+        logging.info("data-parallel over %d devices", n_dev)
         state = TrainState(*replicate(mesh, tuple(state)))
 
     save_dir = Path(hyper.get("save_dir", f"./di-checkpoints/{hyper['run_name']}"))

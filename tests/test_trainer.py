@@ -126,3 +126,69 @@ def test_data_parallel_step_matches_single_device(lif_dir):
     for x, y in zip(jax.tree.leaves(state1.dec_params),
                     jax.tree.leaves(state2.dec_params)):
         assert np.allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
+def test_tensor_parallel_step_matches_single_device(lif_dir):
+    """dp=2 x tp=4 mesh: column-parallel weights + sharded batch must match
+    the single-device step numerically."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32)
+    batch = [ds[i % len(ds)] for i in range(8)]
+    sdf = jnp.asarray(np.stack([b[0] for b in batch]))
+    surf = jnp.asarray(np.stack([b[1] for b in batch]))
+    key = jax.random.key(3)
+
+    state1 = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
+    state1, losses1 = TR.train_step(SPEC_D, LOSS, state1, sdf, surf, key,
+                                    jnp.float32(1e-3), jnp.float32(1e-3),
+                                    jnp.float32(1.0))
+
+    mesh = TR.make_mesh(8, tp=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    state2 = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
+    state2 = TR.shard_state_tp(state2, mesh)
+    sdf_s, surf_s = TR.shard_batch(mesh, sdf, surf)
+    state2, losses2 = TR.train_step(SPEC_D, LOSS, state2, sdf_s, surf_s, key,
+                                    jnp.float32(1e-3), jnp.float32(1e-3),
+                                    jnp.float32(1.0))
+    assert np.isclose(float(losses1["total"]), float(losses2["total"]),
+                      rtol=1e-4)
+    for x, y in zip(jax.tree.leaves(state1.dec_params),
+                    jax.tree.leaves(state2.dec_params)):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=3e-5)
+
+
+def test_train_driver_end_to_end(lif_dir, tmp_path):
+    """The epoch driver (config surface of network_trainer.main): runs
+    batches, applies LR schedules, writes resumable checkpoints."""
+    hyper = dict(
+        run_name="t", num_epochs=1, batch_size=4, batch_split=1,
+        samples_per_lif=64,
+        lr_schedule=[{"Type": "Step", "Initial": 1e-3, "Interval": 80, "Factor": 0.4},
+                     {"Type": "Constant", "Value": 1e-3}],
+        train_set=[{"data_path": str(lif_dir), "augment_rotation": "Y",
+                    "num_surface_sample": 32, "augment_noise": [0.01, 20.0]}],
+        code_bound=None, code_length=29,
+        network_name="di_decoder",
+        network_specs=dict(dims=[128, 128, 128, 128], dropout=[0, 1, 2, 3, 4, 5],
+                           dropout_prob=0.2, norm_layers=[0, 1, 2, 3, 4, 5],
+                           latent_in=[3], weight_norm=True),
+        encoder_name="di_encoder",
+        encoder_specs=dict(per_point_feat=[6, 32, 64, 256], latent_size=29),
+        snapshot_frequency=1, additional_snapshots=[],
+        training_loss=dict(types=["neg_log_likelihood", "reg_loss"],
+                           enforce_minmax=True, clamping_distance=0.2,
+                           code_reg_lambda=0.01),
+        save_dir=str(tmp_path / "ckpt"),
+    )
+    state = TR.train(hyper, max_steps=3)
+    assert int(state.step) == 3
+    assert (tmp_path / "ckpt" / "prior_1.npz").exists()
+    assert (tmp_path / "ckpt" / "hyper.json").exists()
+    # resumable + loadable by the SLAM prior loader
+    st2 = TR.load_checkpoint(tmp_path / "ckpt", 1, SPEC_D, SPEC_E)
+    assert int(st2.step) == 3
+    from difusion_tpu.slam import load_prior
+    dec, enc, spec = load_prior(str(tmp_path / "ckpt" / "hyper.json"), 1)
+    assert spec.latent_size == 29
