@@ -247,9 +247,9 @@ def integrate_keyframe(cfg: HashMapConfig, enc_params: Dict[str, Any],
                           mesh_dirty=state.mesh_dirty | touched)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spec"))
+@partial(jax.jit, static_argnames=("cfg", "spec", "compute_dtype"))
 def query_sdf(cfg: HashMapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
-              state: HashMapState, xyz: jnp.ndarray
+              state: HashMapState, xyz: jnp.ndarray, compute_dtype=jnp.float32
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Hash-map SDF query (reference get_sdf, map.py:559-579)."""
     pn = xyz / cfg.voxel_size
@@ -260,7 +260,7 @@ def query_sdf(cfg: HashMapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
     latent = jax.lax.stop_gradient(
         jnp.where(valid[:, None], state.latents[slot_safe], 0.0))
     rel = pn - cell.astype(pn.dtype) - 0.5
-    sdf, std = decode(dec_params, spec, latent, rel)
+    sdf, std = decode(dec_params, spec, latent, rel, compute_dtype=compute_dtype)
     return sdf, std, valid
 
 

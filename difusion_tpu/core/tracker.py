@@ -80,6 +80,10 @@ class TrackerConfig(NamedTuple):
     # depth observation range (reference main.py:67-68, configs yaml:20-21)
     depth_cut_min: float = 0.5
     depth_cut_max: float = 5.0
+    # matmul precision for the SDF term's decoder evals: bf16 rides the MXU
+    # at 2x+ the f32 rate; residuals/solves stay f32 (set "float32" for
+    # reference-grade numerics)
+    sdf_compute_dtype: str = "bfloat16"
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -255,7 +259,8 @@ def _huber(x: jnp.ndarray, k: float) -> jnp.ndarray:
 
 def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               state: M.MapState, last: Pose, delta: Pose,
-              pts: jnp.ndarray, mask: jnp.ndarray, robust_k: float):
+              pts: jnp.ndarray, mask: jnp.ndarray, robust_k: float,
+              compute_dtype=jnp.float32):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
     (reference compute_sdf_Hg, tracker.py:174-218)."""
     y = delta.apply(pts)
@@ -265,7 +270,8 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
 
     def residual(y_pts):
         x = last.apply(y_pts)
-        sdf, std, valid = query(map_cfg, dec_params, spec, state, x)
+        sdf, std, valid = query(map_cfg, dec_params, spec, state, x,
+                                compute_dtype=compute_dtype)
         return sdf / jax.lax.stop_gradient(std), valid
 
     r, vjp_fn, valid = jax.vjp(residual, y, has_aux=True)
@@ -369,7 +375,8 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             if term[0] == "sdf":
                 tH, tg, tE = _sdf_term(map_cfg, dec_params, spec, state, last,
                                        delta, cur.pts_cam, cur.pc_mask,
-                                       tcfg.sdf_robust_k)
+                                       tcfg.sdf_robust_k,
+                                       compute_dtype=jnp.dtype(tcfg.sdf_compute_dtype))
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur.pyramid, delta, rgb_weight)
