@@ -52,10 +52,12 @@ class TrackerConfig(NamedTuple):
         (10, (("sdf",), ("rgb", 1))),
         (50, (("sdf",), ("rgb", 0))),
     )
+    sdf_robust_kernel: str = "huber"   # "huber" | "tukey" | "" (none)
     sdf_robust_k: float = 5.0
     subsample: float = 0.5
     rgb_weight: float = 500.0
-    rgb_robust_k: float = 0.0        # <= 0: no robust kernel (yaml: null)
+    rgb_robust_kernel: str = ""        # yaml: null -> none
+    rgb_robust_k: float = 0.0
     min_grad_scale: float = 0.0
     max_depth_delta: float = 0.2
     point_budget: int = 1 << 14
@@ -95,10 +97,12 @@ class TrackerConfig(NamedTuple):
         rgb = args.rgb if isinstance(args.rgb, dict) else vars(args.rgb)
         return cls(
             iter_config=iter_config,
+            sdf_robust_kernel=sdf.get("robust_kernel") or "",
             sdf_robust_k=float(sdf.get("robust_k", 5.0)),
             subsample=float(sdf.get("subsample", 0.5)),
             rgb_weight=float(rgb.get("weight", 500.0)),
-            rgb_robust_k=float(rgb.get("robust_k", 0.0)) if rgb.get("robust_kernel") else 0.0,
+            rgb_robust_kernel=rgb.get("robust_kernel") or "",
+            rgb_robust_k=float(rgb.get("robust_k", 0.0)),
             min_grad_scale=float(rgb.get("min_grad_scale", 0.0)),
             max_depth_delta=float(rgb.get("max_depth_delta", 0.2)),
             point_budget=point_budget,
@@ -252,15 +256,22 @@ def preprocess_frame(tcfg: TrackerConfig, calib: Intrinsic,
 # ---------------------------------------------------------------------------
 
 
-def _huber(x: jnp.ndarray, k: float) -> jnp.ndarray:
+def _robust_weight(x: jnp.ndarray, kind: str, k: float) -> jnp.ndarray:
+    """IRLS weights (reference _robust_kernel, tracker.py:59-72)."""
+    if not kind or k <= 0:
+        return jnp.ones_like(x)
     ax = jnp.abs(x)
-    return jnp.where(ax > k, k / jnp.maximum(ax, 1e-12), 1.0)
+    if kind == "huber":
+        return jnp.where(ax > k, k / jnp.maximum(ax, 1e-12), 1.0)
+    if kind == "tukey":
+        return jnp.where(ax <= k, (1.0 - (x / k) ** 2) ** 2, 0.0)
+    raise NotImplementedError(f"robust kernel {kind!r}")
 
 
 def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               state: M.MapState, last: Pose, delta: Pose,
-              pts: jnp.ndarray, mask: jnp.ndarray, robust_k: float,
-              compute_dtype=jnp.float32):
+              pts: jnp.ndarray, mask: jnp.ndarray, robust_kernel: str,
+              robust_k: float, compute_dtype=jnp.float32):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
     (reference compute_sdf_Hg, tracker.py:174-218)."""
     y = delta.apply(pts)
@@ -282,8 +293,7 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
     G = jnp.where(ok[:, None], G, 0.0)
     J = jnp.concatenate([G, jnp.cross(y, G)], axis=-1)    # (N, 6)
 
-    w = _huber(r, robust_k) if robust_k > 0 else jnp.ones_like(r)
-    w = jnp.where(ok, w, 0.0)
+    w = jnp.where(ok, _robust_weight(r, robust_kernel, robust_k), 0.0)
     scale = 1.0 / jnp.maximum(ok.sum(), 1).astype(r.dtype)
     H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
     g = jnp.sum(J * (w * r)[:, None], axis=0) * scale
@@ -319,8 +329,8 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     f = f.reshape(-1)
     J = J.reshape(-1, 6)
     okf = ok.reshape(-1)
-    w = _huber(f, tcfg.rgb_robust_k) if tcfg.rgb_robust_k > 0 else jnp.ones_like(f)
-    w = jnp.where(okf, w, 0.0)
+    w = jnp.where(okf, _robust_weight(f, tcfg.rgb_robust_kernel,
+                                      tcfg.rgb_robust_k), 0.0)
     scale = rgb_weight / jnp.maximum(okf.sum(), 1).astype(f.dtype)
     H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
     g = jnp.sum(J * (w * f)[:, None], axis=0) * scale
@@ -375,7 +385,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             if term[0] == "sdf":
                 tH, tg, tE = _sdf_term(map_cfg, dec_params, spec, state, last,
                                        delta, cur.pts_cam, cur.pc_mask,
-                                       tcfg.sdf_robust_k,
+                                       tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
                                        compute_dtype=jnp.dtype(tcfg.sdf_compute_dtype))
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,

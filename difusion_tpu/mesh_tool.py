@@ -1,0 +1,68 @@
+"""Offline mesh extraction from a saved map snapshot (the reference README's
+"saving and loading the map later" workflow, pytorch/README.md:61: load the
+map, extract at higher resolution / triangle budget than the interactive run).
+
+Usage:
+    python -m difusion_tpu.mesh_tool map.npz out.ply \
+        --hyper /path/to/hyper.json --epoch 300 --resolution 8 \
+        [--max-std 0.15] [--max-triangles 10000000]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="difusion-tpu offline mesher")
+    parser.add_argument("map", help="map .npz written by SLAMSystem.save_map")
+    parser.add_argument("output", help="output mesh (.ply or .obj)")
+    parser.add_argument("--hyper", required=True, help="prior hyper.json")
+    parser.add_argument("--epoch", type=int, default=-1)
+    parser.add_argument("--resolution", type=int, default=8)
+    parser.add_argument("--max-std", type=float, default=2000.0)
+    parser.add_argument("--max-triangles", type=int, default=int(1e7))
+    parser.add_argument("--no-interpolate", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from .utils.jaxtools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+    from .core import hash_map as HM
+    from .core import map as M
+    from .core.meshing import HashMeshExtractor, MeshExtractor
+    from .slam import load_prior
+
+    dec, _, spec = load_prior(args.hyper, args.epoch)
+
+    data = np.load(args.map)
+    is_hash = "cfg.table_size" in data
+    if is_hash:
+        cfg, state = HM.load_map(args.map)
+        mesher = HashMeshExtractor(cfg, dec, spec,
+                                   voxel_resolution=args.resolution,
+                                   max_triangles=args.max_triangles,
+                                   interpolate=not args.no_interpolate)
+    else:
+        cfg, state = M.load_map(args.map)
+        mesher = MeshExtractor(cfg, dec, spec,
+                               voxel_resolution=args.resolution,
+                               max_triangles=args.max_triangles,
+                               interpolate=not args.no_interpolate)
+
+    mesher.extract(state, max_std=args.max_std, no_cache=True)
+    tris, _ = mesher.triangles()
+    logging.info("extracted %d triangles at resolution %d",
+                 len(tris), args.resolution)
+    if args.output.endswith(".obj"):
+        mesher.write_obj(args.output)
+    else:
+        mesher.write_ply(args.output)
+    print(f"{args.output}: {len(tris)} triangles")
+
+
+if __name__ == "__main__":
+    main()

@@ -134,11 +134,11 @@ def test_sdf_term_gradient_consistency():
         upd = exp_twist(jnp.asarray(xi, jnp.float32))
         d = Pose(upd.R @ delta0.R, upd.R @ delta0.t + upd.t)
         _, _, E = T._sdf_term(cfg, dec, SPEC_D, state, last, d, pts_cam, mask,
-                              robust_k=0.0)
+                              robust_kernel="", robust_k=0.0)
         return float(E)
 
     _, g, _ = T._sdf_term(cfg, dec, SPEC_D, state, last, delta0, pts_cam, mask,
-                          robust_k=0.0)
+                          robust_kernel="", robust_k=0.0)
     g = np.asarray(g)
     eps = 1e-4
     for k in range(6):
@@ -184,3 +184,14 @@ def test_two_frame_tracking_recovers_pose():
     r_err = np.linalg.norm(err[3:])
     assert t_err < 0.01, (t_err, p1, pose1)     # < 1 cm
     assert r_err < 0.01, (r_err,)               # < 0.6 deg
+
+
+def test_robust_weight_kinds():
+    x = jnp.asarray(np.array([-10.0, -2.0, 0.0, 2.0, 10.0], np.float32))
+    w = np.asarray(T._robust_weight(x, "huber", 5.0))
+    np.testing.assert_allclose(w, [0.5, 1.0, 1.0, 1.0, 0.5], atol=1e-6)
+    w = np.asarray(T._robust_weight(x, "tukey", 5.0))
+    np.testing.assert_allclose(w, [0.0, (1 - 0.16) ** 2, 1.0, (1 - 0.16) ** 2, 0.0],
+                               atol=1e-6)
+    w = np.asarray(T._robust_weight(x, "", 5.0))
+    np.testing.assert_allclose(w, 1.0)
