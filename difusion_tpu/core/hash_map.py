@@ -264,6 +264,50 @@ def query_sdf(cfg: HashMapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
     return sdf, std, valid
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def build_optimize_samples(cfg: HashMapConfig, state: HashMapState,
+                           surface_xyz: jnp.ndarray, surface_normal: jnp.ndarray,
+                           valid: jnp.ndarray, noise_key: jax.Array):
+    """Hash-map analog of the dense ``build_optimize_samples`` (reference
+    map.py:459-493): noisy pseudo-SDF samples over converged, not-yet
+    optimized voxels.  Returns (slot_ids, rel_xyz, gt_sdf, mask), each row
+    one of the point's 8 offset targets."""
+    n = surface_xyz.shape[0]
+    pn = surface_xyz / cfg.voxel_size
+    offsets = jnp.asarray(_INTEGRATION_OFFSETS)
+    ng = jnp.ceil(pn[:, None, :] + offsets[None]) - 1
+    rel = pn[:, None, :] - ng - 0.5
+    slot = slot_of(cfg, state, ng.astype(jnp.int32))         # (N, 8)
+    slot_safe = jnp.clip(slot, 0, cfg.capacity - 1)
+    optim = (slot >= 0) & (state.obs_count[slot_safe] >= cfg.encoder_count_th) \
+        & ~state.optimized[slot_safe]
+    contrib = valid[:, None] & optim
+
+    gt_sdf = jax.random.normal(noise_key, (n, 8)) * 0.05
+    rel = rel + gt_sdf[..., None] * surface_normal[:, None, :]
+    return (jnp.where(contrib, slot, cfg.capacity).reshape(-1),
+            rel.reshape(-1, 3), gt_sdf.reshape(-1), contrib.reshape(-1))
+
+
+# the latent Adam loop and de-integration merge are slot-space only: reuse
+# the dense map's implementations on hash state (same field names)
+from .map import merge_optimize_result  # noqa: E402,F401
+
+
+def optimize_latents(cfg: HashMapConfig, dec_params, spec: DecoderSpec,
+                     state: HashMapState, slot_ids, rel_xyz, gt_sdf, mask,
+                     n_iters: int = 20, lr: float = 1e-2,
+                     code_reg_lambda: float = 0.0) -> HashMapState:
+    from . import map as _M
+    dense_like = _M.MapConfig(bound_min=(0.0, 0.0, 0.0), n_xyz=(1, 1, 1),
+                              voxel_size=cfg.voxel_size,
+                              latent_dim=cfg.latent_dim, capacity=cfg.capacity)
+    out = _M.optimize_latents(dense_like, dec_params, spec, state, slot_ids,
+                              rel_xyz, gt_sdf, mask, n_iters=n_iters, lr=lr,
+                              code_reg_lambda=code_reg_lambda)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Save / load
 # ---------------------------------------------------------------------------

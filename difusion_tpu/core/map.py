@@ -25,7 +25,7 @@ TPU-first redesign decisions (cf. SURVEY.md section 7):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import numpy as np
 from ..models.decoder import DecoderSpec, decode
 from ..ops.sampling import get_samples
 from . import hash_map as HM
-from . import map as M
 
 
 class MapVisuals(NamedTuple):

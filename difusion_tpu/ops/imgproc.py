@@ -12,7 +12,6 @@ Semantics parity notes are cited per-function.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

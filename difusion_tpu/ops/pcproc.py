@@ -21,7 +21,6 @@ approximate under its ``checks`` budget).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

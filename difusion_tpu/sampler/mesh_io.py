@@ -7,7 +7,6 @@ triangulation, an OBJ writer, and box/sphere/cylinder builders.
 """
 from __future__ import annotations
 
-from pathlib import Path
 from typing import NamedTuple, Tuple
 
 import numpy as np

@@ -22,7 +22,7 @@ Heavy parts are jitted with static chunk shapes; orchestration is numpy
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

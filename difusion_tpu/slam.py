@@ -102,7 +102,7 @@ class SLAMSystem:
         # main.py:86).  "sync" commits immediately; "interleaved" merges the
         # result at the NEXT integrate with delta de-integration, the analog
         # of the reference's aux-GPU async process (XLA overlaps the work).
-        self.latent_optimize = latent_optimize and not self.is_hash
+        self.latent_optimize = latent_optimize
         self.latent_optimize_mode = latent_optimize_mode
         self.optim_n_iters = optim_n_iters
         self.code_reg_lambda = code_reg_lambda
@@ -175,7 +175,7 @@ class SLAMSystem:
             if self._pending_opt is not None:
                 old_lat, old_cnt, pre_optimized, opt_state = self._pending_opt
                 touched = opt_state.optimized & ~pre_optimized
-                self.state = M.merge_optimize_result(
+                self.state = self._map_mod.merge_optimize_result(
                     self.state, old_lat, opt_state.latents, old_cnt, touched)
                 self._pending_opt = None
             w_pts, w_nrm, w_mask = self.tracker.last_pc_world(pose)
@@ -183,9 +183,9 @@ class SLAMSystem:
                 self.map_cfg, self.enc_params, self.state, w_pts, w_nrm, w_mask)
             if self.latent_optimize:
                 self._opt_key, sub = jax.random.split(self._opt_key)
-                slot_ids, rel, gt, mask = M.build_optimize_samples(
+                slot_ids, rel, gt, mask = self._map_mod.build_optimize_samples(
                     self.map_cfg, self.state, w_pts, w_nrm, w_mask, sub)
-                opt_state = M.optimize_latents(
+                opt_state = self._map_mod.optimize_latents(
                     self.map_cfg, self.dec_params, self.spec, self.state,
                     slot_ids, rel, gt, mask, n_iters=self.optim_n_iters,
                     code_reg_lambda=self.code_reg_lambda)

@@ -311,7 +311,6 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
 
 
 def main(argv=None):
-    import argparse
     from ..config import ArgumentParserX
     parser = ArgumentParserX(add_hyper_arg=True)
     args = parser.parse_args(argv)

@@ -152,3 +152,32 @@ def test_query_and_save_load(tmp_path):
     cfg2, state2 = H.load_map(str(tmp_path / "m.npz"))
     assert cfg2 == cfg
     np.testing.assert_allclose(np.asarray(state2.latents), np.asarray(state.latents))
+
+
+def test_hash_optimize_latents():
+    dec, enc = nets()
+    cfg = H.HashMapConfig(voxel_size=0.1, capacity=4096, table_size=1 << 13,
+                          prune_min_vox_obs=0, ignore_count_th=0.0,
+                          encoder_count_th=10.0)
+    pts, nrm = _plane_cloud()
+    valid = jnp.ones(pts.shape[0], bool)
+    state = H.integrate_keyframe(cfg, enc, H.create_hash_map_state(cfg),
+                                 pts, nrm, valid)
+    slot_ids, rel, gt, mask = H.build_optimize_samples(
+        cfg, state, pts, nrm, valid, jax.random.key(0))
+    assert int(mask.sum()) > 0
+
+    from difusion_tpu.models.decoder import decode
+
+    def nll(latents):
+        lat = latents[jnp.clip(slot_ids, 0, cfg.capacity - 1)]
+        sdf, std = decode(dec, H.DecoderSpec(), lat, rel)
+        pd, g = jnp.clip(sdf, -0.2, 0.2), jnp.clip(gt, -0.2, 0.2)
+        ll = 0.5 * ((g - pd) / std) ** 2 + jnp.log(std)
+        return float(jnp.sum(ll * mask) / jnp.maximum(mask.sum(), 1))
+
+    before = nll(state.latents)
+    state2 = H.optimize_latents(cfg, dec, H.DecoderSpec(), state,
+                                slot_ids, rel, gt, mask, n_iters=10)
+    assert nll(state2.latents) < before
+    assert bool(jnp.any(state2.optimized))
