@@ -75,6 +75,8 @@ class SLAMSystem:
                  max_triangles: int = 1 << 22,
                  mesh_max_std: float = 0.15,
                  meshing: bool = True,
+                 meshing_interval: int = -1,
+                 run_async: bool = False,
                  profile: bool = False,
                  latent_optimize: bool = False,
                  latent_optimize_mode: str = "interleaved",
@@ -94,6 +96,20 @@ class SLAMSystem:
                                  voxel_resolution=mesh_resolution,
                                  max_triangles=max_triangles) if meshing else None
         self.integrate_interval = integrate_interval
+        # the reference parses meshing_interval but meshing piggybacks on the
+        # integrate branch (SURVEY.md 2.5); here it is honored when set
+        self.meshing_interval = (meshing_interval if meshing_interval > 0
+                                 else integrate_interval)
+        # run_async: mesh extraction runs in a worker thread over an
+        # immutable state snapshot (the reference's meshing thread + stream +
+        # copy-on-write vars, map.py:232,620-626 -- functional state makes
+        # the snapshot free)
+        self.run_async = run_async
+        self._mesh_executor = None
+        self._mesh_future = None
+        if run_async and meshing:
+            from concurrent.futures import ThreadPoolExecutor
+            self._mesh_executor = ThreadPoolExecutor(max_workers=1)
         self.depth_cut = depth_cut
         self.mesh_max_std = mesh_max_std
         self.first_iso: Optional[Isometry] = None
@@ -140,6 +156,8 @@ class SLAMSystem:
                   depth_cut=(float(getattr(args, "depth_cut_min", 0.5)),
                              float(getattr(args, "depth_cut_max", 5.0))),
                   mesh_resolution=int(getattr(args, "resolution", 4)),
+                  meshing_interval=int(getattr(args, "meshing_interval", -1)),
+                  run_async=bool(getattr(args, "run_async", False)),
                   meshing=meshing)
         sys.first_iso = first_iso
         return sys
@@ -198,12 +216,28 @@ class SLAMSystem:
                 jax.block_until_ready(self.state.latents)
                 self.timings["integrate"].append(time.perf_counter() - t0)
 
-            if self.mesher is not None:
-                t0 = time.perf_counter()
+        if self.mesher is not None and (n_done - 1) % self.meshing_interval == 0:
+            t0 = time.perf_counter()
+            if self._mesh_executor is not None:
+                # snapshot is free (immutable pytree); clear dirty flags now
+                # so fusion keeps marking new work for the NEXT extract
+                snapshot = self.state
+                self.state = self.mesher._clear_dirty(self.state)
+                if self._mesh_future is not None:
+                    self._mesh_future.result()     # one extract in flight
+                self._mesh_future = self._mesh_executor.submit(
+                    self.mesher.extract, snapshot, self.mesh_max_std)
+            else:
                 self.state = self.mesher.extract(self.state, max_std=self.mesh_max_std)
-                if self.profile:
-                    self.timings["mesh"].append(time.perf_counter() - t0)
+            if self.profile:
+                self.timings["mesh"].append(time.perf_counter() - t0)
         return pose
+
+    def finish_meshing(self):
+        """Join any in-flight async mesh extraction."""
+        if self._mesh_future is not None:
+            self._mesh_future.result()
+            self._mesh_future = None
 
     # -- offline driver ------------------------------------------------------
 
@@ -249,6 +283,7 @@ class SLAMSystem:
                 logging.info("frame %d/%d  t=%s", i, n,
                              np.round(np.asarray(pose.t), 3))
             i += 1
+        self.finish_meshing()
         trajectory = self.tracker.all_pd_pose[start:]
         result: Dict[str, Any] = {
             "n_frames": len(trajectory),

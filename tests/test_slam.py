@@ -139,3 +139,42 @@ def test_slam_with_latent_optimization(prior, mode):
     result = system.run_sequence(seq)
     assert result["ate_rmse"] < 0.02, result
     assert bool(np.asarray(system.state.optimized).any())
+
+
+def test_slam_noisy_depth(prior):
+    """Sensor-like depth noise + dropouts: outlier removal and robust kernels
+    must keep tracking stable (BASELINE config-4 noise characteristics)."""
+    rng = np.random.default_rng(11)
+
+    class NoisySeq(SyntheticSequence):
+        def render(self, pose):
+            rgb, depth, ok = super().render(pose)
+            noise = rng.normal(0, 0.004 * depth ** 2).astype(np.float32)
+            salt = rng.random(depth.shape) < 0.02          # 2% dropouts
+            depth = np.where(salt, 0.0, depth + noise).astype(np.float32)
+            return rgb, depth, ok & ~salt
+
+    seq = NoisySeq(n_frames=9, h=120, w=160,
+                   calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                   corrugation=0.1, motion_scale=0.6)
+    system = _system(prior)
+    result = system.run_sequence(seq)
+    assert result["n_voxels"] > 50
+    # noise floor ~4mm at 2m; tracking should stay within a few cm
+    assert result["ate_rmse"] < 0.03, result
+
+
+def test_slam_async_meshing(prior):
+    """run_async parity: meshing in a worker thread over snapshot state
+    produces the same kind of mesh and never corrupts the map."""
+    seq = SyntheticSequence(n_frames=9, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    system = _system(prior, run_async=True)
+    result = system.run_sequence(seq)
+    assert result["ate_rmse"] < 0.012
+    tris, _ = system.mesher.triangles()
+    assert len(tris) > 100
+    z_rel = tris[..., 2] - (2.0 + 0.1 * (np.sin(5.0 * tris[..., 0])
+                                         + 0.7 * np.cos(4.0 * tris[..., 1])))
+    assert np.abs(z_rel).mean() < 0.08
