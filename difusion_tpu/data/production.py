@@ -99,6 +99,7 @@ class ICLNUIMSequence(RGBDSequence):
     def __init__(self, path: str, start_frame: int = 0, end_frame: int = -1,
                  first_tq: Optional[list] = None, load_gt: bool = False):
         super().__init__()
+        self.calib = self.CALIB
         self.path = Path(path)
         self.color_names = sorted(
             [f"rgb/{t}" for t in os.listdir(self.path / "rgb")],

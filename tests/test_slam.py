@@ -178,3 +178,52 @@ def test_slam_async_meshing(prior):
     z_rel = tris[..., 2] - (2.0 + 0.1 * (np.sin(5.0 * tris[..., 0])
                                          + 0.7 * np.cos(4.0 * tris[..., 1])))
     assert np.abs(z_rel).mean() < 0.08
+
+
+def test_full_icl_format_pipeline(prior, tmp_path):
+    """The complete production path: ICL-NUIM-format dataset on disk (native
+    PNG decode, uint16 depth, TUM gt with the axis-flip convention),
+    reference-format config -> SLAMSystem.from_config -> ATE."""
+    import subprocess
+    import sys as _sys
+    cv2 = pytest.importorskip("cv2")
+    _sys.path.insert(0, "tools")
+    from make_synthetic_icl import main as make_icl
+    first_tq = [float(v) for v in make_icl(str(tmp_path / "icl"), n_frames=5)]
+
+    from difusion_tpu.config import dict_to_args
+    from difusion_tpu.data import ICLNUIMSequence
+    seq = ICLNUIMSequence(str(tmp_path / "icl"), first_tq=first_tq, load_gt=True)
+    assert seq.calib.fx == 481.2
+    # written gt parses back to the rendered trajectory exactly
+    for i, g in enumerate(seq.gt_trajectory):
+        import numpy as _np
+        d = _np.abs((g.inv().dot(
+            __import__("difusion_tpu.data", fromlist=["SyntheticSequence"])
+            .SyntheticSequence(n_frames=5, h=480, w=640, calib=seq.calib,
+                               corrugation=0.1, motion_scale=0.5)
+            .gt_trajectory[i])).log()).max()
+        assert d < 1e-6, (i, d)
+
+    args = dict_to_args(dict(
+        sequence_type="icl_nuim.ICLNUIMSequence",
+        sequence_kwargs=dict(path=str(tmp_path / "icl"), first_tq=first_tq,
+                             load_gt=True),
+        training_hypers=conftest.REFERENCE_CKPT, using_epoch=300,
+        resolution=2, depth_cut_min=0.5, depth_cut_max=5.0,
+        integrate_interval=4, run_async=False,
+        mapping=dict(bound_min=[-3.5, -3.5, -0.5], bound_max=[3.5, 3.5, 3.5],
+                     voxel_size=0.1, prune_min_vox_obs=16,
+                     ignore_count_th=16.0, encoder_count_th=600.0),
+        tracking=dict(
+            iter_config=[{"n": 10, "type": [["rgb", 2]]},
+                         {"n": 10, "type": [["sdf"], ["rgb", 1]]},
+                         {"n": 50, "type": [["sdf"], ["rgb", 0]]}],
+            sdf=dict(robust_kernel="huber", robust_k=5.0, subsample=0.5),
+            rgb=dict(weight=500.0, robust_kernel=None, robust_k=0.01,
+                     min_grad_scale=0.0, max_depth_delta=0.2)),
+    ))
+    system = SLAMSystem.from_config(args, seq.calib, seq.first_iso,
+                                    meshing=False)
+    result = system.run_sequence(seq)
+    assert result["ate_rmse"] < 0.01, result
