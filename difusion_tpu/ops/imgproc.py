@@ -308,7 +308,12 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
     v0c = jnp.clip(v0, 0, h - 1)
 
     d0 = prev_depth[v0c, u0c]
-    d0_ok = prev_depth_ok[v0c, u0c]
+    if prev_depth_ok is None:
+        # caller zeroed invalid depths (preprocess does) -> d0 > 0 covers
+        # validity and one gather per pixel disappears
+        d0_ok = True
+    else:
+        d0_ok = prev_depth_ok[v0c, u0c]
     ok = ok & inside & d0_ok & (jnp.abs(wz - d0) <= max_depth_delta) & (d0 > 0.0)
 
     if bilinear:
