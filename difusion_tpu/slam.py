@@ -158,7 +158,15 @@ class SLAMSystem:
                   mesh_resolution=int(getattr(args, "resolution", 4)),
                   meshing_interval=int(getattr(args, "meshing_interval", -1)),
                   run_async=bool(getattr(args, "run_async", False)),
-                  meshing=meshing)
+                  meshing=meshing,
+                  # latent-optimize keys live under mapping in the reference
+                  # (read at map.py:97-104,460; absent from shipped configs
+                  # because the main path passes do_optimize=False)
+                  latent_optimize=bool(getattr(mapping, "latent_optimize", False)),
+                  optim_n_iters=int(getattr(mapping, "optim_n_iters", 20)),
+                  code_reg_lambda=(float(getattr(mapping, "code_reg_lambda", 0.0))
+                                   if getattr(mapping, "code_regularization", False)
+                                   else 0.0))
         sys.first_iso = first_iso
         return sys
 

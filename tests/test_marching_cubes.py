@@ -210,3 +210,54 @@ class TestEndToEndMesh:
         extractor.write_ply(str(tmp_path / "m.ply"))
         assert (tmp_path / "m.obj").stat().st_size > 1000
         assert (tmp_path / "m.ply").stat().st_size > 1000
+
+
+@pytest.mark.skipif(not conftest.reference_ckpt_available(),
+                    reason="reference checkpoint not mounted")
+def test_incremental_splice_replaces_stale_triangles():
+    """When a voxel's latent changes and it re-meshes, its cached triangles
+    must be replaced, not duplicated (reference cache splice,
+    map.py:701-714)."""
+    import jax
+    from difusion_tpu.core import map as M
+    from difusion_tpu.core.meshing import MeshExtractor
+    from difusion_tpu.models import torch_import as TI
+    from difusion_tpu.models.decoder import fold_decoder_params
+    from difusion_tpu.models.encoder import fold_encoder_params
+
+    dec_t, enc_t, spec_d, _, _ = TI.load_torch_prior(conftest.REFERENCE_CKPT, 300)
+    dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
+    enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
+
+    cfg = M.MapConfig(bound_min=(-1.0, -1.0, -1.0), n_xyz=(20, 20, 20),
+                      voxel_size=0.1, capacity=4096, prune_min_vox_obs=2,
+                      ignore_count_th=1.0, encoder_count_th=600.0)
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-0.6, 0.6, (4000, 2)).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([xy, np.full((4000, 1), 0.05, np.float32)], 1))
+    nrm = jnp.asarray(np.tile(np.array([[0, 0, 1]], np.float32), (4000, 1)))
+    state = M.integrate_keyframe(cfg, enc, M.create_map_state(cfg), pts, nrm,
+                                 jnp.ones(4000, bool))
+
+    mesher = MeshExtractor(cfg, dec, spec_d, voxel_resolution=2,
+                           max_triangles=1 << 16)
+    state = mesher.extract(state, max_std=10.0)
+    tris1, _ = mesher.triangles()
+    n1 = len(tris1)
+    assert n1 > 50
+    z1 = tris1[..., 2].mean()
+
+    # second observation of the SAME surface shifted slightly: fusion updates
+    # latents, dirty voxels re-mesh, count must not balloon
+    pts2 = pts + jnp.asarray(np.array([[0, 0, 0.02]], np.float32))
+    state = M.integrate_keyframe(cfg, enc, state, pts2, nrm, jnp.ones(4000, bool))
+    assert bool(jnp.any(state.mesh_dirty))
+    state = mesher.extract(state, max_std=10.0)
+    tris2, _ = mesher.triangles()
+    assert len(tris2) < n1 * 1.6, (n1, len(tris2))   # replaced, not appended
+    # surface moved up towards the fused mean
+    assert tris2[..., 2].mean() > z1
+    # no-op extract keeps the cache identical
+    n_stable = len(mesher.triangles()[0])
+    state = mesher.extract(state, max_std=10.0)
+    assert len(mesher.triangles()[0]) == n_stable
