@@ -87,6 +87,10 @@ class TrackerConfig(NamedTuple):
     # at 2x+ the f32 rate; residuals/solves stay f32 (set "float32" for
     # reference-grade numerics)
     sdf_compute_dtype: str = "bfloat16"
+    # GN initialization: "none" starts at the last pose (the reference's
+    # identity lspeed placeholder, tracker.py:118-119); "constant_velocity"
+    # seeds with the previous inter-frame delta
+    motion_prior: str = "none"
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -371,7 +375,8 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                  last_R: jnp.ndarray, last_t: jnp.ndarray,
                  prev: Pyramid, cur: ProcessedFrame,
                  rgb_weight: jnp.ndarray,
-                 n_unstable: jnp.ndarray) -> GNResult:
+                 n_unstable: jnp.ndarray,
+                 init_R: jnp.ndarray, init_t: jnp.ndarray) -> GNResult:
     """Run the grouped GN schedule (reference gauss_newton,
     tracker.py:220-283): per group, iterate ``n`` updates + a final
     evaluation-only pass, rejecting any step that raises the energy.  Pose
@@ -397,7 +402,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             H, g, E = H + tH, g + tg, E + tE
         return H, g, E
 
-    delta = Pose.identity()
+    delta = Pose(init_R, init_t)
     n_accept_last = jnp.zeros((), jnp.int32)
     energy = jnp.full((), jnp.inf, jnp.float32)
 
@@ -477,6 +482,7 @@ class SDFTracker:
         self.last_processed: Optional[ProcessedFrame] = None
         self.n_unstable = jnp.zeros((), jnp.int32)
         self.rgb_weight = jnp.asarray(tcfg.rgb_weight, jnp.float32)
+        self.last_delta = Pose.identity()
 
     @property
     def n_tracked(self) -> int:
@@ -520,12 +526,17 @@ class SDFTracker:
         else:
             assert self.pose_history, "first frame needs set_pose"
             last = self.pose_history[-1]
+            if self.tcfg.motion_prior == "constant_velocity":
+                init = self.last_delta
+            else:
+                init = Pose.identity()
             res = gauss_newton(
                 self.tcfg, self.map_cfg, self.spec, self.calib,
                 self.dec_params, state, last.R, last.t,
                 self.last_pyramid, processed, self.rgb_weight,
-                self.n_unstable)
+                self.n_unstable, init.R, init.t)
             final_pose = Pose(res.final_R, res.final_t)
+            self.last_delta = Pose(res.delta_R, res.delta_t)
             self.n_unstable = res.n_unstable
             self.rgb_weight = res.rgb_weight
 
