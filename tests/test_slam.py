@@ -251,3 +251,66 @@ def test_constant_velocity_prior_survives_fast_motion(prior):
     # robust); this pins the constant-velocity code path and its accuracy
     ate_cv = run("constant_velocity")
     assert ate_cv < 0.02, ate_cv
+
+
+def test_full_scannet_format_pipeline(prior, tmp_path):
+    """Config-4 path: ScanNet-format dataset (jpg color, mm depth, per-frame
+    pose files) on the hash-indexed map through from_config."""
+    pytest.importorskip("cv2")
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from make_synthetic_scannet import main as make_scannet
+    make_scannet(str(tmp_path / "scan"), n_frames=4)
+
+    from difusion_tpu.config import dict_to_args
+    from difusion_tpu.data import ScanNetSequence
+    seq = ScanNetSequence(str(tmp_path / "scan"))
+    args = dict_to_args(dict(
+        sequence_type="x", sequence_kwargs={},
+        training_hypers=conftest.REFERENCE_CKPT, using_epoch=300,
+        resolution=2, depth_cut_min=0.5, depth_cut_max=5.0,
+        integrate_interval=2, run_async=False,
+        mapping=dict(indexer="hash", voxel_size=0.1, prune_min_vox_obs=16,
+                     ignore_count_th=16.0, encoder_count_th=600.0),
+        tracking=dict(
+            iter_config=[{"n": 10, "type": [["rgb", 2]]},
+                         {"n": 10, "type": [["sdf"], ["rgb", 1]]},
+                         {"n": 50, "type": [["sdf"], ["rgb", 0]]}],
+            sdf=dict(robust_kernel="huber", robust_k=5.0, subsample=0.5),
+            rgb=dict(weight=500.0, robust_kernel=None, robust_k=0.01,
+                     min_grad_scale=0.0, max_depth_delta=0.2)),
+    ))
+    system = SLAMSystem.from_config(args, seq.calib, seq.first_iso,
+                                    meshing=False)
+    assert system.is_hash
+    result = system.run_sequence(seq)
+    assert result["ate_rmse"] < 0.01, result
+
+
+def test_map_save_load_resume_tracking(prior, tmp_path):
+    """Reference README workflow: save the map, reload it in a fresh system,
+    and keep tracking against the loaded map (relocalization-style resume)."""
+    dec, enc, spec = prior
+    seq = SyntheticSequence(n_frames=9, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    frames = [next(seq) for _ in range(9)]
+
+    system = _system(prior, meshing=False)
+    system.first_iso = seq.first_iso
+    for f in frames[:6]:
+        system.process_frame(f)
+    system.save_map(str(tmp_path / "m.npz"))
+
+    cfg2, state2 = M.load_map(str(tmp_path / "m.npz"))
+    system2 = _system(prior, meshing=False)
+    assert cfg2 == system2.map_cfg
+    system2.state = state2
+    # resume: re-anchor at the frame-6 gt pose, then track 7 and 8 against
+    # the RELOADED map only
+    system2.first_iso = frames[6].gt_pose
+    for f in frames[6:]:
+        system2.process_frame(f)
+    p8 = system2.tracker.pose_at(-1)
+    err = (p8.inv().dot(frames[8].gt_pose)).log()
+    assert np.linalg.norm(err[:3]) < 0.02, err
