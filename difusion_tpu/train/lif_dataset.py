@@ -5,10 +5,10 @@ Parity with pytorch/dataset/training/lif_dataset.py: per-voxel npz payloads
 indexed by ``source.json``), positive/negative-balanced SDF sampling,
 Y/X/Z/3D rotation augmentation, surface noise + normal perturbation.
 
-Torch-free: numpy end to end, with a simple shuffled batcher that assembles
-device-ready arrays (the reference uses a torch DataLoader with 8 workers;
-here the npz reads are cheap relative to the TPU step and a single-threaded
-batcher keeps the loop simple -- swap in a thread pool if IO ever dominates).
+Torch-free: numpy end to end.  :func:`iterate_batches` assembles
+device-ready arrays, optionally in a background thread pool (the analog of
+the reference's 8-worker torch DataLoader); ``LifDataset.__getitem__`` is
+thread-safe via per-call child generators.
 """
 from __future__ import annotations
 
@@ -67,7 +67,11 @@ class LifDataset:
         self.num_surface_sample = num_surface_sample
         self.augment_rotation = augment_rotation
         self.augment_noise = tuple(augment_noise)
-        self.rng = np.random.default_rng(seed)
+        # per-call child generators: __getitem__ must be thread-safe for the
+        # batch prefetch pool, and a shared Generator is not
+        self._seed = seed
+        import itertools
+        self._draw = itertools.count()   # atomic under the GIL
 
     def __len__(self) -> int:
         return len(self.data_sources)
@@ -78,7 +82,7 @@ class LifDataset:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         raw = self.get_raw_data(idx)
         data = raw["data"]
-        rng = self.rng
+        rng = np.random.default_rng((self._seed, idx, next(self._draw)))
 
         pos = data[data[:, 3] > 0]
         neg = data[data[:, 3] <= 0]
@@ -123,16 +127,39 @@ class LifCombinedDataset:
 
 
 def iterate_batches(dataset, batch_size: int, rng: np.random.Generator,
-                    drop_last: bool = True
+                    drop_last: bool = True, n_workers: int = 0
                     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Shuffled epoch iterator yielding (sdf_samples (B, S, 4),
-    surface (B, N, 6), idx (B,))."""
+    surface (B, N, 6), idx (B,)).
+
+    ``n_workers`` > 0 assembles batches in a background thread pool (the
+    analog of the reference's 8-worker DataLoader, network_trainer.py:68):
+    npz reads + augmentation overlap with the device step.
+    """
     order = rng.permutation(len(dataset))
     n_full = len(order) // batch_size
     end = n_full * batch_size if drop_last else len(order)
-    for b in range(0, end, batch_size):
+    starts = list(range(0, end, batch_size))
+
+    def build(b):
         ids = order[b:b + batch_size]
         items = [dataset[int(i)] for i in ids]
-        yield (np.stack([s for s, _ in items]),
-               np.stack([f for _, f in items]),
-               ids.astype(np.int32))
+        return (np.stack([s for s, _ in items]),
+                np.stack([f for _, f in items]),
+                ids.astype(np.int32))
+
+    if n_workers <= 0:
+        for b in starts:
+            yield build(b)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        window = 2 * n_workers
+        futures = [pool.submit(build, b) for b in starts[:window]]
+        nxt = window
+        for i in range(len(starts)):
+            yield futures[i].result()
+            if nxt < len(starts):
+                futures.append(pool.submit(build, starts[nxt]))
+                nxt += 1

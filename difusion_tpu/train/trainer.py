@@ -282,7 +282,8 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
         t_epoch = time.perf_counter()
         n_batches = 0
         for sdf_data, surface, idx in ldata.iterate_batches(
-                dataset, hyper["batch_size"], rng):
+                dataset, hyper["batch_size"], rng,
+                n_workers=int(hyper.get("loader_workers", 4))):
             if multi:
                 sdf_data, surface = shard_batch(mesh, sdf_data, surface)
             key, sub = jax.random.split(key)
