@@ -195,3 +195,29 @@ def test_robust_weight_kinds():
                                atol=1e-6)
     w = np.asarray(T._robust_weight(x, "", 5.0))
     np.testing.assert_allclose(w, 1.0)
+
+
+def test_packed_preprocess_matches_direct():
+    """pack_frame + preprocess_frame_packed must equal preprocess_frame for
+    both float32 and uint16 depth payloads."""
+    pose = Isometry()
+    rgb, depth, ok = render_surface_frame(pose, CALIB, corrugation=0.1)
+    tcfg = T.TrackerConfig(point_budget=4096)
+    rgb_u8 = (np.asarray(rgb) * 255).astype(np.uint8)
+
+    direct = T.preprocess_frame(tcfg, CALIB, jnp.asarray(rgb_u8), depth)
+    packed = jnp.asarray(T.pack_frame(rgb_u8, np.asarray(depth)))
+    via_packed = T.preprocess_frame_packed(tcfg, CALIB, packed,
+                                           depth.shape[0], depth.shape[1],
+                                           "float32")
+    np.testing.assert_allclose(np.asarray(direct.pts_cam),
+                               np.asarray(via_packed.pts_cam), atol=1e-6)
+    assert (np.asarray(direct.pc_mask) == np.asarray(via_packed.pc_mask)).all()
+
+    d16 = (np.asarray(depth) * CALIB.dcam_scale).astype(np.uint16)
+    direct16 = T.preprocess_frame(tcfg, CALIB, jnp.asarray(rgb_u8), jnp.asarray(d16))
+    packed16 = jnp.asarray(T.pack_frame(rgb_u8, d16))
+    via16 = T.preprocess_frame_packed(tcfg, CALIB, packed16,
+                                      d16.shape[0], d16.shape[1], "uint16")
+    np.testing.assert_allclose(np.asarray(direct16.pts_cam),
+                               np.asarray(via16.pts_cam), atol=1e-6)
