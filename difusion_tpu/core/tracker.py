@@ -129,7 +129,7 @@ class ProcessedFrame(NamedTuple):
 
 def _window_stats(pc_map: jnp.ndarray, valid: jnp.ndarray, window: int,
                   outlier_r2: float, nb_points: int, normal_r2: float,
-                  min_nb: float):
+                  min_nb: float, backend: str = "auto"):
     """One fused pass over the (2w+1)^2 pixel window: radius-outlier count
     (reference remove_radius_outlier semantics over the depth-image point set,
     pcproc.cu:160-187) AND windowed-PCA normals with camera-facing flip
@@ -147,37 +147,50 @@ def _window_stats(pc_map: jnp.ndarray, valid: jnp.ndarray, window: int,
     px = jnp.where(valid, pc_map[..., 0], 0.0)
     py = jnp.where(valid, pc_map[..., 1], 0.0)
     pz = jnp.where(valid, pc_map[..., 2], 0.0)
+    vf = valid.astype(jnp.float32)
 
-    def patches(img, fill=0.0):
-        padded = jnp.pad(img, window, constant_values=fill)
-        return jnp.stack([
-            jax.lax.dynamic_slice(padded, (window + dv, window + du), (h, w))
-            for dv in range(-window, window + 1)
-            for du in range(-window, window + 1)])          # (K, H, W)
+    if backend == "auto":
+        # measured: the Pallas variant compiles but lane-misaligned window
+        # slices force Mosaic into per-lane shifts ~1000x slower than XLA's
+        # fused patch stacks (see ops/stencil_pallas.py) -- XLA wins here
+        backend = "jnp"
+    if backend.startswith("pallas"):
+        from ..ops.stencil_pallas import window_stat_sums
+        sums = window_stat_sums(px, py, pz, vf, window, outlier_r2, normal_r2,
+                                interpret=(backend == "pallas_interpret"))
+    else:
+        def patches(img):
+            padded = jnp.pad(img, window)
+            return jnp.stack([
+                jax.lax.dynamic_slice(padded, (window + dv, window + du), (h, w))
+                for dv in range(-window, window + 1)
+                for du in range(-window, window + 1)])      # (K, H, W)
 
-    nx_, ny_, nz_ = patches(px), patches(py), patches(pz)
-    nok = patches(valid.astype(jnp.float32))                # 1.0 where valid
+        nx_, ny_, nz_ = patches(px), patches(py), patches(pz)
+        nok = patches(vf)                                   # 1.0 where valid
+        dx = nx_ - px[None]
+        dy = ny_ - py[None]
+        dz = nz_ - pz[None]
+        d2 = dx * dx + dy * dy + dz * dz
+        wgt = jnp.where(d2 <= normal_r2, nok, 0.0)          # (K, H, W)
+        sums = (jnp.sum(jnp.where(d2 <= outlier_r2, nok, 0.0), axis=0),
+                jnp.sum(wgt, axis=0),
+                jnp.sum(wgt * nx_, axis=0), jnp.sum(wgt * ny_, axis=0),
+                jnp.sum(wgt * nz_, axis=0),
+                jnp.sum(wgt * nx_ * nx_, axis=0), jnp.sum(wgt * nx_ * ny_, axis=0),
+                jnp.sum(wgt * nx_ * nz_, axis=0), jnp.sum(wgt * ny_ * ny_, axis=0),
+                jnp.sum(wgt * ny_ * nz_, axis=0), jnp.sum(wgt * nz_ * nz_, axis=0))
 
-    dx = nx_ - px[None]
-    dy = ny_ - py[None]
-    dz = nz_ - pz[None]
-    d2 = dx * dx + dy * dy + dz * dz
-
-    outlier_cnt = jnp.sum(jnp.where(d2 <= outlier_r2, nok, 0.0), axis=0)
+    (outlier_cnt, cnt, s1x, s1y, s1z,
+     sxx, sxy, sxz, syy, syz, szz) = sums
     outlier_ok = valid & (outlier_cnt >= nb_points)
-
-    wgt = jnp.where(d2 <= normal_r2, nok, 0.0)              # (K, H, W)
-    cnt = jnp.sum(wgt, axis=0)
-    s1x = jnp.sum(wgt * nx_, axis=0)
-    s1y = jnp.sum(wgt * ny_, axis=0)
-    s1z = jnp.sum(wgt * nz_, axis=0)
     c = 1.0 / jnp.maximum(cnt, 1.0)
-    cov_xx = jnp.sum(wgt * nx_ * nx_, axis=0) - s1x * s1x * c
-    cov_xy = jnp.sum(wgt * nx_ * ny_, axis=0) - s1x * s1y * c
-    cov_xz = jnp.sum(wgt * nx_ * nz_, axis=0) - s1x * s1z * c
-    cov_yy = jnp.sum(wgt * ny_ * ny_, axis=0) - s1y * s1y * c
-    cov_yz = jnp.sum(wgt * ny_ * nz_, axis=0) - s1y * s1z * c
-    cov_zz = jnp.sum(wgt * nz_ * nz_, axis=0) - s1z * s1z * c
+    cov_xx = sxx - s1x * s1x * c
+    cov_xy = sxy - s1x * s1y * c
+    cov_xz = sxz - s1x * s1z * c
+    cov_yy = syy - s1y * s1y * c
+    cov_yz = syz - s1y * s1z * c
+    cov_zz = szz - s1z * s1z * c
 
     vx, vy, vz, _ = imgproc.sym3eig_smallest_components(
         cov_xx, cov_xy, cov_xz, cov_yy, cov_yz, cov_zz)

@@ -221,3 +221,36 @@ def test_packed_preprocess_matches_direct():
                                       d16.shape[0], d16.shape[1], "uint16")
     np.testing.assert_allclose(np.asarray(direct16.pts_cam),
                                np.asarray(via16.pts_cam), atol=1e-6)
+
+
+def test_pallas_window_stencil_matches_jnp():
+    """The Pallas window-stat kernel (interpret mode on CPU) must match the
+    jnp patch-stack formulation."""
+    rng = np.random.default_rng(4)
+    H, W = 48, 64
+    pc = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+    ok = jnp.asarray(rng.random((H, W)) > 0.2)
+    a = T._window_stats(pc, ok, 3, 0.25, 4, 1.0, 3.0, backend="jnp")
+    b = T._window_stats(pc, ok, 3, 0.25, 4, 1.0, 3.0,
+                        backend="pallas_interpret")
+    assert (np.asarray(a[0]) == np.asarray(b[0])).all()          # outlier ok
+    assert (np.asarray(a[2]) == np.asarray(b[2])).all()          # normal ok
+    # random clouds give near-degenerate covariances (eigenvectors are
+    # ill-conditioned under f32 summation order); check direction agreement
+    na, nb = np.asarray(a[1]), np.asarray(b[1])
+    m = np.asarray(a[2])
+    dots = np.abs(np.sum(na[m] * nb[m], axis=-1))
+    assert (dots > 0.99).mean() > 0.97, dots.min()
+
+    # well-conditioned case: noisy plane -> normals must agree tightly
+    z = 2.0 + 0.001 * rng.standard_normal((H, W)).astype(np.float32)
+    u = np.arange(W, dtype=np.float32)[None, :] * 0.01
+    v = np.arange(H, dtype=np.float32)[:, None] * 0.01
+    plane = jnp.asarray(np.stack([u + 0 * z, v + 0 * z, z], axis=-1))
+    okp = jnp.ones((H, W), bool)
+    ap = T._window_stats(plane, okp, 3, 0.25, 4, 1.0, 3.0, backend="jnp")
+    bp = T._window_stats(plane, okp, 3, 0.25, 4, 1.0, 3.0,
+                         backend="pallas_interpret")
+    mp_ = np.asarray(ap[2])
+    dots = np.abs(np.sum(np.asarray(ap[1])[mp_] * np.asarray(bp[1])[mp_], -1))
+    assert dots.min() > 0.9999, dots.min()
