@@ -199,6 +199,7 @@ def run_generation(args, sampler_cfg: Optional[SamplerConfig] = None) -> int:
 
     if sampler_cfg is None:
         sampler_cfg = SamplerConfig(
+            reference_method=int(getattr(args, "sample_method", 1)),
             num_sample=int(getattr(args, "sampler_count", 500000)),
             variance=float(getattr(args, "sampler_var", 0.005)))
 

@@ -181,7 +181,14 @@ def compute_sdf(queries: np.ndarray, ref_xyz: np.ndarray, ref_normal: np.ndarray
 
 class SamplerConfig(NamedTuple):
     """PreprocessMesh CLI surface (PreprocessMesh.cu:354-383 + the
-    main_generator invocation, main_generator.py:37-45)."""
+    main_generator invocation, main_generator.py:37-45).
+
+    ``reference_method`` selects the surface reference cloud like the
+    binary's ``-r`` flag (PreprocessMesh.cu:377): 1 = camera-visibility
+    filtered samples, 2 = raw mesh samples with face normals (no visibility),
+    3 = an external (xyz, normal) cloud passed to
+    :func:`generate_mesh_samples`."""
+    reference_method: int = 1
     num_sample: int = 500000
     near_surface_ratio: float = 0.8            # -p (generator passes 0.8)
     variance: float = 0.005                    # --var
@@ -193,13 +200,25 @@ class SamplerConfig(NamedTuple):
 
 
 def generate_mesh_samples(mesh: TriMesh, cameras: list, half_window: float,
-                          cfg: SamplerConfig, rng: np.random.Generator
+                          cfg: SamplerConfig, rng: np.random.Generator,
+                          reference_points: np.ndarray = None
                           ) -> Tuple[np.ndarray, np.ndarray]:
     """Full sampler pass for one mesh.  Returns (data (N, 4) xyz+sdf with
-    ambiguous rows dropped, surface (M, 6) xyzn)."""
-    surf_xyz, surf_normal = visible_surface_samples(
-        mesh, cameras, half_window, cfg.n_surface_candidates, rng,
-        res=cfg.zbuffer_res)
+    ambiguous rows dropped, surface (M, 6) xyzn).  ``reference_points``
+    ((M, 6) xyzn) is required for reference_method 3."""
+    if cfg.reference_method == 1:
+        surf_xyz, surf_normal = visible_surface_samples(
+            mesh, cameras, half_window, cfg.n_surface_candidates, rng,
+            res=cfg.zbuffer_res)
+    elif cfg.reference_method == 2:
+        surf_xyz, tri = sample_on_triangles(mesh, cfg.n_surface_candidates, rng)
+        surf_normal = mesh.face_normals()[tri]
+    elif cfg.reference_method == 3:
+        assert reference_points is not None, "method 3 needs reference_points"
+        surf_xyz = np.asarray(reference_points[:, :3], np.float32)
+        surf_normal = np.asarray(reference_points[:, 3:6], np.float32)
+    else:
+        raise ValueError(f"unknown reference_method {cfg.reference_method}")
     if len(surf_xyz) < 100:
         return np.zeros((0, 4), np.float32), np.zeros((0, 6), np.float32)
 

@@ -149,3 +149,26 @@ def test_generator_to_training_end_to_end(tmp_path):
         if step == 0:
             losses0 = float(losses["total"])
     assert float(losses["total"]) < losses0
+
+
+def test_reference_methods_2_and_3():
+    """Sampler reference modes (PreprocessMesh -r): 2 = raw mesh-normal
+    cloud, 3 = external reference points."""
+    mesh = mesh_io.make_sphere(0.5, 32)
+    rng = np.random.default_rng(5)
+    cfg2 = SamplerConfig(reference_method=2, num_sample=10000,
+                         n_surface_candidates=60000)
+    data2, surf2 = generate_mesh_samples(mesh, [], 0.0, cfg2, rng)
+    analytic = np.linalg.norm(data2[:, :3], axis=1) - 0.5
+    assert np.percentile(np.abs(data2[:, 3] - analytic), 95) < 0.01
+
+    # method 3: analytic sphere cloud as the external reference
+    dirs = rng.normal(size=(50000, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ref = np.concatenate([0.5 * dirs, dirs], axis=1).astype(np.float32)
+    cfg3 = SamplerConfig(reference_method=3, num_sample=10000)
+    data3, surf3 = generate_mesh_samples(mesh, [], 0.0, cfg3, rng,
+                                         reference_points=ref)
+    analytic = np.linalg.norm(data3[:, :3], axis=1) - 0.5
+    assert np.percentile(np.abs(data3[:, 3] - analytic), 95) < 0.01
+    assert len(surf3) == len(ref)
