@@ -76,13 +76,14 @@ def main():
     q = queue.Queue(maxsize=3)
 
     def feeder():
-        for f in all_frames[4:]:
-            q.put((f, jnp.asarray(tracker_mod.pack_frame(f.rgb, f.depth))))
+        for _ in range(2):
+            for f in all_frames[4:]:
+                q.put((f, jnp.asarray(tracker_mod.pack_frame(f.rgb, f.depth))))
         q.put(None)
 
     threading.Thread(target=feeder, daemon=True).start()
-    n = len(all_frames) - 4
-    seg = max(n // 3, 1)
+    n = 2 * (len(all_frames) - 4)     # two passes -> more clean segments
+    seg = max(n // 12, 1)   # short windows dodge tunnel-jitter bursts
     seg_t = []
     t0 = time.perf_counter()
     i = 0
