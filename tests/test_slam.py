@@ -314,3 +314,24 @@ def test_map_save_load_resume_tracking(prior, tmp_path):
     p8 = system2.tracker.pose_at(-1)
     err = (p8.inv().dot(frames[8].gt_pose)).log()
     assert np.linalg.norm(err[:3]) < 0.02, err
+
+
+def test_slam_hash_with_latent_optimization(prior):
+    """Latent optimization over the hash backend through the pipeline."""
+    from difusion_tpu.core import hash_map as H
+    dec, enc, spec = prior
+    map_cfg = H.HashMapConfig(voxel_size=0.1, latent_dim=29, capacity=1 << 14,
+                              table_size=1 << 16, prune_min_vox_obs=4,
+                              ignore_count_th=1.0, encoder_count_th=50.0)
+    tcfg = TrackerConfig(point_budget=8192)
+    calib = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
+    system = SLAMSystem(map_cfg, tcfg, dec, enc, spec, calib,
+                        integrate_interval=2, depth_cut=(0.5, 5.0),
+                        meshing=False, latent_optimize=True,
+                        latent_optimize_mode="interleaved", optim_n_iters=5)
+    seq = SyntheticSequence(n_frames=7, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    result = system.run_sequence(seq)
+    assert result["ate_rmse"] < 0.02, result
+    assert bool(np.asarray(system.state.optimized).any())
