@@ -147,9 +147,18 @@ def make_mesh(n_devices: int = -1, tp: int = 1):
     """1-D data mesh, or a 2-D (data, model) mesh when ``tp`` > 1."""
     devices = jax.devices()
     if n_devices > 0:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: asked for {n_devices} devices but jax.devices() "
+                f"has only {len(devices)} "
+                f"({[d.platform for d in devices]}); for a virtual CPU mesh "
+                "set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}")
         devices = devices[:n_devices]
     if tp > 1:
-        assert len(devices) % tp == 0
+        if len(devices) % tp != 0:
+            raise RuntimeError(
+                f"make_mesh: {len(devices)} devices not divisible by tp={tp}")
         return jax.sharding.Mesh(
             np.array(devices).reshape(len(devices) // tp, tp),
             ("data", "model"))
