@@ -3,9 +3,18 @@ sequence (640x480 RGB-D, reference intrinsics), the BASELINE.json headline
 metric.  No dataset files are required: the analytic renderer drives the
 identical compute path (preprocess -> GN track -> encoder fusion).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is relative to the BASELINE north-star target of 30 fps
-track+fuse on one TPU chip.
+Methodology: several full passes over the sequence, each timed around the
+frame loop with ONE device sync at the end of the pass (the final pose
+transitively depends on every frame's preprocess+track, and the map state on
+every integrate, so the sync covers all enqueued work).  Per-frame or
+per-segment syncs are NOT taken inside the loop: on this tunneled backend a
+single host<->device round trip costs ~30 ms, which would measure transport
+latency rather than pipeline throughput.  The headline value is the MEAN
+fps over passes; the best pass is reported alongside.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "best",
+"passes"} where vs_baseline is the mean relative to the BASELINE north-star
+target of 30 fps track+fuse on one TPU chip.
 """
 import json
 import os
@@ -71,22 +80,28 @@ def main():
     # pose transitively depends on every frame's preprocess+track)
     np.asarray(system.tracker.pose_history[-1].t)
 
+    def sync():
+        np.asarray(system.tracker.pose_history[-1].t)
+        np.asarray(system.state.latents[0, 0])
+
     # feeder thread packs + uploads; main thread tracks (the run_sequence
     # pipeline, timed around the frame loop only)
+    bench_frames = all_frames[4:]
+    n = len(bench_frames)
+    passes = 6
     q = queue.Queue(maxsize=3)
 
     def feeder():
-        for _ in range(2):
-            for f in all_frames[4:]:
-                q.put((f, jnp.asarray(tracker_mod.pack_frame(f.rgb, f.depth))))
+        for _ in range(passes):
+            for f in bench_frames:
+                q.put((f, jnp.asarray(tracker_mod.pack_frame(
+                    f.rgb, f.depth, calib.dcam_scale))))
         q.put(None)
 
     threading.Thread(target=feeder, daemon=True).start()
-    n = 2 * (len(all_frames) - 4)     # two passes -> more clean segments
-    seg = max(n // 12, 1)   # short windows dodge tunnel-jitter bursts
-    seg_t = []
-    t0 = time.perf_counter()
+    pass_t = []
     i = 0
+    t0 = time.perf_counter()
     while True:
         item = q.get()
         if item is None:
@@ -94,19 +109,18 @@ def main():
         frame, packed = item
         system.process_frame(frame, packed=packed)
         i += 1
-        if i % seg == 0:
-            np.asarray(system.tracker.pose_history[-1].t)
-            seg_t.append(time.perf_counter() - t0)
+        if i % n == 0:                       # end of a pass: drain + restart
+            sync()
+            pass_t.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-    np.asarray(system.tracker.pose_history[-1].t)
-    np.asarray(system.state.latents[0])
 
-    # report the best contiguous segment: tunnel/transfer jitter and one-off
-    # cache loads otherwise dominate the mean
-    fps = seg / min(seg_t)
+    fps = [n / t for t in pass_t]
+    mean_fps = float(np.mean(fps))
+    best_fps = float(np.max(fps))
     print(json.dumps({"metric": "synthetic_icl_track_fuse_fps",
-                      "value": round(fps, 2), "unit": "frames/sec",
-                      "vs_baseline": round(fps / 30.0, 3)}))
+                      "value": round(mean_fps, 2), "unit": "frames/sec",
+                      "vs_baseline": round(mean_fps / 30.0, 3),
+                      "best": round(best_fps, 2), "passes": len(fps)}))
 
 
 if __name__ == "__main__":

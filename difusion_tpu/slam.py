@@ -186,9 +186,10 @@ class SLAMSystem:
                 frame.gt_pose if frame.gt_pose is not None else Isometry())
         h, w = frame.depth.shape
         if packed is None:
-            packed = jnp.asarray(tracker_mod.pack_frame(frame.rgb, frame.depth))
+            packed = jnp.asarray(tracker_mod.pack_frame(
+                frame.rgb, frame.depth, self.tracker.calib.dcam_scale))
         pose = self.tracker.track_camera_packed(
-            self.state, packed, h, w, str(frame.depth.dtype), set_pose)
+            self.state, packed, h, w, set_pose)
         if self.profile:
             jax.block_until_ready(pose.t)
             self.timings["track"].append(time.perf_counter() - t0)
@@ -267,11 +268,12 @@ class SLAMSystem:
 
         def feeder():
             try:
+                dcam = self.tracker.calib.dcam_scale
                 for i, frame in enumerate(sequence):
                     if i >= n:
                         break
-                    packed = jnp.asarray(tracker_mod.pack_frame(frame.rgb,
-                                                                frame.depth))
+                    packed = jnp.asarray(tracker_mod.pack_frame(
+                        frame.rgb, frame.depth, dcam))
                     q.put((frame, packed))
             except Exception as e:          # surface loader errors downstream
                 q.put(e)

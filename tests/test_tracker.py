@@ -198,29 +198,43 @@ def test_robust_weight_kinds():
 
 
 def test_packed_preprocess_matches_direct():
-    """pack_frame + preprocess_frame_packed must equal preprocess_frame for
-    both float32 and uint16 depth payloads."""
+    """pack_frame + preprocess_frame_packed must equal preprocess_frame: the
+    uint16 intensity channel sum is exact; float depth is re-quantized to the
+    sensor's uint16 grid (half-step tolerance), native uint16 depth is
+    exact."""
     pose = Isometry()
     rgb, depth, ok = render_surface_frame(pose, CALIB, corrugation=0.1)
     tcfg = T.TrackerConfig(point_budget=4096)
     rgb_u8 = (np.asarray(rgb) * 255).astype(np.uint8)
 
     direct = T.preprocess_frame(tcfg, CALIB, jnp.asarray(rgb_u8), depth)
-    packed = jnp.asarray(T.pack_frame(rgb_u8, np.asarray(depth)))
+    packed = jnp.asarray(T.pack_frame(rgb_u8, np.asarray(depth),
+                                      CALIB.dcam_scale))
     via_packed = T.preprocess_frame_packed(tcfg, CALIB, packed,
-                                           depth.shape[0], depth.shape[1],
-                                           "float32")
-    np.testing.assert_allclose(np.asarray(direct.pts_cam),
-                               np.asarray(via_packed.pts_cam), atol=1e-6)
-    assert (np.asarray(direct.pc_mask) == np.asarray(via_packed.pc_mask)).all()
+                                           depth.shape[0], depth.shape[1])
+    # float depth passes through a uint16 re-quantization (the sensor's own
+    # grid): the depth pyramid must agree to half a step; downstream points
+    # can shift box-filter cells, so compare the deterministic pyramid
+    q = 0.5 / CALIB.dcam_scale
+    np.testing.assert_allclose(np.asarray(direct.pyramid.depth[0]),
+                               np.asarray(via_packed.pyramid.depth[0]),
+                               atol=q + 1e-6)
+    np.testing.assert_allclose(np.asarray(direct.pyramid.intensity[0]),
+                               np.asarray(via_packed.pyramid.intensity[0]),
+                               atol=1e-6)
 
     d16 = (np.asarray(depth) * CALIB.dcam_scale).astype(np.uint16)
     direct16 = T.preprocess_frame(tcfg, CALIB, jnp.asarray(rgb_u8), jnp.asarray(d16))
-    packed16 = jnp.asarray(T.pack_frame(rgb_u8, d16))
+    packed16 = jnp.asarray(T.pack_frame(rgb_u8, d16, CALIB.dcam_scale))
     via16 = T.preprocess_frame_packed(tcfg, CALIB, packed16,
-                                      d16.shape[0], d16.shape[1], "uint16")
+                                      d16.shape[0], d16.shape[1])
     np.testing.assert_allclose(np.asarray(direct16.pts_cam),
                                np.asarray(via16.pts_cam), atol=1e-6)
+    assert (np.asarray(direct16.pc_mask) == np.asarray(via16.pc_mask)).all()
+    # intensity pyramids agree exactly for u8 rgb (sum/765 == mean/255)
+    np.testing.assert_allclose(np.asarray(direct16.pyramid.intensity[0]),
+                               np.asarray(via16.pyramid.intensity[0]),
+                               atol=1e-6)
 
 
 def test_pallas_window_stencil_matches_jnp():
