@@ -261,3 +261,60 @@ def test_incremental_splice_replaces_stale_triangles():
     n_stable = len(mesher.triangles()[0])
     state = mesher.extract(state, max_std=10.0)
     assert len(mesher.triangles()[0]) == n_stable
+
+
+@pytest.mark.skipif(not conftest.reference_ckpt_available(),
+                    reason="reference checkpoint not mounted")
+def test_fast_mode_matches_dense():
+    """Coarse-to-fine "fast" evaluation (reference map.py:644-682) must
+    reproduce the dense mesh within tolerance at r=8 while cutting decoder
+    evals >= 3x."""
+    import jax
+    from difusion_tpu.core import map as M
+    from difusion_tpu.core.meshing import MeshExtractor
+    from difusion_tpu.models import torch_import as TI
+    from difusion_tpu.models.decoder import fold_decoder_params
+    from difusion_tpu.models.encoder import fold_encoder_params
+
+    dec_t, enc_t, spec_d, _, _ = TI.load_torch_prior(conftest.REFERENCE_CKPT, 300)
+    dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
+    enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
+
+    rng = np.random.default_rng(3)
+    n = 30000
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radius = 0.5
+    pts = jnp.asarray((dirs * radius).astype(np.float32))
+    nrm = jnp.asarray(dirs.astype(np.float32))
+
+    cfg = M.MapConfig(bound_min=(-0.8, -0.8, -0.8), n_xyz=(16, 16, 16),
+                      voxel_size=0.1, capacity=1 << 13,
+                      prune_min_vox_obs=4, ignore_count_th=8.0)
+    base = M.integrate_keyframe(cfg, enc, M.create_map_state(cfg), pts, nrm,
+                                jnp.ones(n, bool))
+
+    r = 8
+    dense = MeshExtractor(cfg, dec, spec_d, voxel_resolution=r,
+                          max_triangles=1 << 19)
+    dense.extract(base, max_std=0.3)
+    fast = MeshExtractor(cfg, dec, spec_d, voxel_resolution=r,
+                         max_triangles=1 << 19, fast=True,
+                         refine_fraction=0.2)
+    fast.extract(base, max_std=0.3)
+
+    # >= 3x decoder-eval cut per block: (2r)^3 dense vs r^3 + refine_k
+    evals_dense = (2 * r) ** 3
+    evals_fast = r ** 3 + fast.refine_k
+    assert evals_dense / evals_fast >= 3.0, (evals_dense, evals_fast)
+
+    td, _ = dense.triangles()
+    tf, _ = fast.triangles()
+    assert len(td) > 500 and len(tf) > 500
+    # same surface: radius statistics agree to a few millimeters
+    dd = np.linalg.norm(td.reshape(-1, 3), axis=1)
+    df = np.linalg.norm(tf.reshape(-1, 3), axis=1)
+    assert abs(np.median(dd) - np.median(df)) < 0.004
+    assert abs(dd.mean() - df.mean()) < 0.006
+    # triangle counts in the same ballpark (no dropped/spurious sheets)
+    assert 0.8 < len(tf) / len(td) < 1.25, (len(td), len(tf))
