@@ -3,8 +3,10 @@
 Feature-parity with the reference's ``ArgumentParserX`` (reference:
 pytorch/utils/exp_util.py:12-112): a positional YAML/JSON "hyper" file whose
 keys are auto-promoted to ``--flag`` overrides, YAML ``include_configs``
-inheritance, lenient JSON parsing (Python-literal fixing), nested dict
-sub-configs re-wrapped as namespaces, and an ``--exec`` escape hatch.
+inheritance, lenient JSON parsing (Python-literal fixing), and nested dict
+sub-configs re-wrapped as namespaces.  The reference's ``--exec`` escape
+hatch (arbitrary code evaluated from the command line) is deliberately NOT
+reproduced; ``--set dotted.key=value`` covers the same use cases safely.
 """
 from __future__ import annotations
 
@@ -82,43 +84,82 @@ def args_to_dict(args: argparse.Namespace) -> dict:
     return out
 
 
-class ArgumentParserX(argparse.ArgumentParser):
-    """Argument parser whose flag surface is induced by the config file itself.
+def apply_override(args: argparse.Namespace, assignment: str) -> None:
+    """Apply one ``key=value`` (or ``a.b.c=value``) override to a namespace.
 
-    Every top-level key of the hyper file becomes an optional ``--key`` override
-    with the file value as default; ``--exec`` runs ``_args.``-prefixed
-    statements for ad-hoc tweaks (reference: pytorch/utils/exp_util.py:78-112).
+    Values parse as YAML scalars/collections, so ``--set lr=1e-4``,
+    ``--set mapping.voxel_size=0.05`` and ``--set bounds=[0,1]`` all work.
+    Dotted paths descend through Namespace or dict levels.  This replaces the
+    reference's ``--exec`` hatch (exp_util.py:103-108), which evaluated
+    arbitrary code from the command line -- same ergonomics, no exec().
+    """
+    key, sep, raw = assignment.partition("=")
+    if not sep:
+        raise ValueError(f"override {assignment!r} is not of the form key=value")
+    value = yaml.safe_load(raw)
+    parts = key.strip().split(".")
+    target = args
+    for p in parts[:-1]:
+        target = target[p] if isinstance(target, dict) else getattr(target, p)
+    if isinstance(target, dict):
+        target[parts[-1]] = value
+    else:
+        setattr(target, parts[-1], value)
+
+
+class ArgumentParserX(argparse.ArgumentParser):
+    """Argument parser whose flag surface is induced by the config file.
+
+    Capability parity with the reference's config-driven CLI
+    (exp_util.py:78-112): a positional ``hyper`` yaml/json file, every
+    top-level scalar key auto-promoted to a ``--key`` override, plus
+    repeatable ``--set dotted.key=value`` assignments for nested keys
+    (the safe replacement for the reference's ``--exec``).
     """
 
-    def __init__(self, base_config_path: Optional[str] = None, add_hyper_arg: bool = True, **kwargs):
+    def __init__(self, base_config_path: Optional[str] = None,
+                 add_hyper_arg: bool = True, **kwargs):
         super().__init__(**kwargs)
         self.add_hyper_arg = add_hyper_arg
         self.base_config_path = base_config_path
+        if add_hyper_arg:
+            self.add_argument("hyper", type=str,
+                              help="yaml/json parameter file")
+        self.add_argument("--set", dest="overrides", action="append",
+                          default=[], metavar="KEY=VALUE",
+                          help="override a (possibly nested, dot-separated) "
+                               "config key; value is parsed as YAML")
+
+    def _load_file_config(self, argv) -> argparse.Namespace:
+        cfg = argparse.Namespace()
+        if self.base_config_path is not None:
+            parse_config_yaml(Path(self.base_config_path), cfg)
         if self.add_hyper_arg:
-            self.add_argument("hyper", type=str, help="Path to the yaml/json parameter file")
-        self.add_argument("--exec", type=str, help="Code executed against the parsed args (prefix `_args.`)")
+            first, _ = self.parse_known_args(argv)
+            path = Path(first.hyper)
+            loader = (parse_config_json if path.suffix == ".json"
+                      else parse_config_yaml)
+            loader(path, cfg)
+        return cfg
 
     def parse_args(self, args=None, namespace=None):
-        known, _ = self.parse_known_args(args, namespace)
-        file_args = argparse.Namespace()
-        if self.base_config_path is not None:
-            file_args = parse_config_yaml(Path(self.base_config_path), file_args)
-        if self.add_hyper_arg:
-            hyper = Path(known.hyper)
-            if hyper.suffix == ".json":
-                file_args = parse_config_json(hyper, file_args)
-            else:
-                file_args = parse_config_yaml(hyper, file_args)
-            for key, value in vars(file_args).items():
-                try:
-                    self.add_argument("--" + key, type=type(value), default=value, required=False)
-                except argparse.ArgumentError:
-                    continue
-        full = super().parse_args(args, namespace)
-        if full.exec is not None:
-            for statement in full.exec.split(";"):
-                exec("_args." + statement.strip(), {"_args": full})  # noqa: S102 - explicit escape hatch
-        return full
+        cfg = self._load_file_config(args)
+        # promote each file key to a --flag whose default is the file value;
+        # non-scalar values stay reachable through --set
+        for key, value in vars(cfg).items():
+            flag_type = type(value) if isinstance(value, (int, float, str)) else None
+            try:
+                if flag_type is not None:
+                    self.add_argument(f"--{key}", type=flag_type, default=value)
+                else:
+                    self.add_argument(f"--{key}", type=yaml.safe_load,
+                                      default=value)
+            except argparse.ArgumentError:
+                pass                      # key collides with a builtin flag
+        parsed = super().parse_args(args, namespace)
+        for assignment in parsed.overrides:
+            apply_override(parsed, assignment)
+        return parsed
 
 
 def load_yaml_args(path: str) -> argparse.Namespace:

@@ -1,52 +1,48 @@
-"""Learning-rate schedules (parity with pytorch/trainer/lr_schedule.py)."""
+"""Learning-rate schedules for the prior trainer.
+
+The hyper.json schema (``lr_schedule`` entries with ``Type`` = Step / Warmup
+/ Constant and the per-type fields) is fixed by the reference checkpoints
+(pytorch/ckpt/default/hyper.json:24-33), so the *keys* match; the
+implementation is a closure factory rather than a class hierarchy -- each
+schedule is just ``epoch -> lr``.
+"""
 from __future__ import annotations
 
+from typing import Callable, List, Mapping
 
-class LearningRateSchedule:
-    def get_learning_rate(self, epoch: int) -> float:
-        raise NotImplementedError
-
-
-class ConstantLearningRateSchedule(LearningRateSchedule):
-    def __init__(self, value: float):
-        self.value = value
-
-    def get_learning_rate(self, epoch: int) -> float:
-        return self.value
+Schedule = Callable[[int], float]
 
 
-class StepLearningRateSchedule(LearningRateSchedule):
-    def __init__(self, initial: float, interval: int, factor: float):
-        self.initial = initial
-        self.interval = interval
-        self.factor = factor
-
-    def get_learning_rate(self, epoch: int) -> float:
-        return self.initial * (self.factor ** (epoch // self.interval))
+def _step(spec: Mapping) -> Schedule:
+    initial, interval, factor = spec["Initial"], spec["Interval"], spec["Factor"]
+    return lambda epoch: initial * factor ** (epoch // interval)
 
 
-class WarmupLearningRateSchedule(LearningRateSchedule):
-    def __init__(self, initial: float, warmed_up: float, length: int):
-        self.initial = initial
-        self.warmed_up = warmed_up
-        self.length = length
-
-    def get_learning_rate(self, epoch: int) -> float:
-        if epoch > self.length:
-            return self.warmed_up
-        return self.initial + (self.warmed_up - self.initial) * epoch / self.length
+def _warmup(spec: Mapping) -> Schedule:
+    lo, hi, length = spec["Initial"], spec["Final"], spec["Length"]
+    return lambda epoch: hi if epoch > length else lo + (hi - lo) * epoch / length
 
 
-def get_learning_rate_schedules(specs) -> list:
-    """Build from the hyper "lr_schedule" list (lr_schedule.py:33-63)."""
-    schedules = []
-    for s in specs:
-        if s["Type"] == "Step":
-            schedules.append(StepLearningRateSchedule(s["Initial"], s["Interval"], s["Factor"]))
-        elif s["Type"] == "Warmup":
-            schedules.append(WarmupLearningRateSchedule(s["Initial"], s["Final"], s["Length"]))
-        elif s["Type"] == "Constant":
-            schedules.append(ConstantLearningRateSchedule(s["Value"]))
-        else:
-            raise ValueError(f"unknown schedule type {s['Type']!r}")
-    return schedules
+def _constant(spec: Mapping) -> Schedule:
+    value = spec["Value"]
+    return lambda epoch: value
+
+
+_FACTORIES = {"Step": _step, "Warmup": _warmup, "Constant": _constant}
+
+
+def make_schedule(spec: Mapping) -> Schedule:
+    """One hyper.json lr_schedule entry -> an ``epoch -> lr`` callable."""
+    try:
+        factory = _FACTORIES[spec["Type"]]
+    except KeyError:
+        raise ValueError(f"unknown schedule type {spec.get('Type')!r}; "
+                         f"expected one of {sorted(_FACTORIES)}") from None
+    return factory(spec)
+
+
+def get_learning_rate_schedules(specs) -> List[Schedule]:
+    """Build the per-param-group schedule list from hyper["lr_schedule"]
+    (group 0 = decoder, group 1 = encoder, matching the reference trainer's
+    param groups)."""
+    return [make_schedule(s) for s in specs]

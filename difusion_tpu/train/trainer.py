@@ -36,7 +36,7 @@ import optax
 
 from ..models.decoder import DecoderSpec, decode_train, init_decoder_params
 from ..models.encoder import EncoderSpec, encode_train, init_encoder_params
-from ..utils.meters import AverageMeter
+from ..utils.meters import LossMeter
 from . import lif_dataset as ldata
 from .losses import LossConfig, l1_loss, neg_log_likelihood, reg_loss, siren_loss
 from .lr_schedule import get_learning_rate_schedules
@@ -285,9 +285,9 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
     key = jax.random.key(1)
     it = 0
     for epoch in range(1, hyper["num_epochs"] + 1):
-        lr_dec = schedules[0].get_learning_rate(epoch)
-        lr_enc = schedules[1].get_learning_rate(epoch)
-        meter = AverageMeter()
+        lr_dec = schedules[0](epoch)
+        lr_enc = schedules[1](epoch)
+        meter = LossMeter()
         t_epoch = time.perf_counter()
         n_batches = 0
         for sdf_data, surface, idx in ldata.iterate_batches(
@@ -305,14 +305,15 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
             n_batches += 1
             if it % log_every == 0:
                 vals = {k: float(v) for k, v in losses.items()}
-                meter.append_loss(vals)
+                meter.update(vals)
                 logging.info("epoch %d it %d: %s", epoch, it,
                              {k: round(v, 5) for k, v in vals.items()})
             if 0 < max_steps <= it:
                 break
         dt = time.perf_counter() - t_epoch
         if n_batches:
-            logging.info("epoch %d done: %.2f it/s", epoch, n_batches / dt)
+            logging.info("epoch %d done: %.2f it/s  %s", epoch,
+                         n_batches / dt, meter.summary())
         if epoch in checkpoints:
             save_checkpoint(save_dir, epoch, state, hyper)
         if 0 < max_steps <= it:

@@ -1,128 +1,94 @@
-"""Loss meters and training bookkeeping.
+"""Streaming scalar-metric accumulation for training/runtime logging.
 
-Parity with reference meters (pytorch/utils/exp_util.py:115-256) minus the
-torch-graph-specific chunk-loss machinery, which the functional JAX training
-step makes unnecessary.
+The reference tracks losses with a family of meter classes holding unbounded
+per-key value lists (pytorch/utils/exp_util.py:115-256).  Here the same
+capability -- per-key means, latest values, a printable summary, export --
+is one small accumulator over Welford streaming statistics: O(1) memory per
+key regardless of run length, JSON (not pickle) for export, and an optional
+exponentially-weighted average in the same pass.
 """
 from __future__ import annotations
 
-import pickle
-import sys
-from collections import OrderedDict
-
-import numpy as np
+import json
+import math
+from typing import Dict, Optional
 
 
-class AverageMeter:
-    def __init__(self):
-        self.loss_dict = OrderedDict()
+class LossMeter:
+    """Per-key streaming count/mean/variance/EWMA/last for scalar metrics.
 
-    def export(self, f):
-        if isinstance(f, str):
-            f = open(f, "wb")
-        pickle.dump(self.loss_dict, f)
+    ``update`` accepts any mapping of name -> number; None and NaN values are
+    ignored so callers can pass loss dicts straight through.
+    """
 
-    def load(self, f):
-        if isinstance(f, str):
-            f = open(f, "rb")
-        self.loss_dict = pickle.load(f)
-        return self
+    def __init__(self, ewma_alpha: float = 0.9):
+        self.ewma_alpha = ewma_alpha
+        self._stats: Dict[str, Dict[str, float]] = {}
 
-    def append_loss(self, losses: dict):
-        for name, val in losses.items():
+    def update(self, values: Dict[str, float]) -> None:
+        for name, val in values.items():
             if val is None:
                 continue
-            val = float(val)
-            if np.isnan(val):
+            v = float(val)
+            if math.isnan(v):
                 continue
-            self.loss_dict.setdefault(name, []).append(val)
+            s = self._stats.get(name)
+            if s is None:
+                self._stats[name] = {"n": 1.0, "mean": v, "m2": 0.0,
+                                     "ewma": v, "last": v}
+                continue
+            s["n"] += 1.0
+            d = v - s["mean"]
+            s["mean"] += d / s["n"]
+            s["m2"] += d * (v - s["mean"])       # Welford update
+            a = self.ewma_alpha
+            s["ewma"] = a * s["ewma"] + (1.0 - a) * v
+            s["last"] = v
 
-    def get_mean_loss_dict(self):
-        return {name: float(np.mean(arr)) for name, arr in self.loss_dict.items()}
+    # -- views ---------------------------------------------------------------
 
-    def get_mean_loss(self):
-        means = self.get_mean_loss_dict()
-        if not means:
+    def mean(self) -> Dict[str, float]:
+        return {k: s["mean"] for k, s in self._stats.items()}
+
+    def ewma(self) -> Dict[str, float]:
+        return {k: s["ewma"] for k, s in self._stats.items()}
+
+    def last(self) -> Dict[str, float]:
+        return {k: s["last"] for k, s in self._stats.items()}
+
+    def count(self, name: str) -> int:
+        s = self._stats.get(name)
+        return int(s["n"]) if s else 0
+
+    def std(self, name: str) -> float:
+        s = self._stats.get(name)
+        if not s or s["n"] < 2:
             return 0.0
-        return sum(means.values()) / len(means)
+        return math.sqrt(s["m2"] / (s["n"] - 1.0))
 
-    def get_printable_mean(self):
-        text = ""
-        total = 0.0
-        for name, mean in self.get_mean_loss_dict().items():
-            total += mean
-            text += "(%s:%.4f) " % (name, mean)
-        return text + " sum = %.4f" % total
+    def summary(self, digits: int = 4) -> str:
+        """One-line 'name=mean' listing plus the sum of means."""
+        means = self.mean()
+        parts = [f"{k}={v:.{digits}f}" for k, v in means.items()]
+        parts.append(f"total={sum(means.values()):.{digits}f}")
+        return "  ".join(parts)
 
-    def get_newest_loss_dict(self, return_count=False):
-        newest, counts = {}, {}
-        for name, arr in self.loss_dict.items():
-            if arr:
-                newest[name] = arr[-1]
-                counts[name] = len(arr)
-        return (newest, counts) if return_count else newest
+    # -- export --------------------------------------------------------------
 
-    def get_printable_newest(self):
-        val, cnt = self.get_newest_loss_dict(return_count=True)
-        return ", ".join(f"{k}[{cnt[k] - 1}]: {val[k]}" for k in val)
+    def to_json(self, path: Optional[str] = None) -> str:
+        blob = json.dumps({"ewma_alpha": self.ewma_alpha, "stats": self._stats})
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(blob)
+        return blob
 
-    def print_format_loss(self, color=None):
-        device = getattr(sys.stdout, "terminal", sys.stdout)
-        codes = {"y": "\033[93m", "g": "\033[92m", "b": "\033[94m"}
-        if color in codes:
-            device.write(codes[color])
-        print(self.get_printable_mean(), flush=True)
-        if color in codes:
-            device.write("\033[0m")
-
-
-class RunningAverageMeter:
-    def __init__(self, alpha: float = 1.0):
-        self.alpha = alpha
-        self.loss_dict = OrderedDict()
-
-    def append_loss(self, losses: dict):
-        for name, val in losses.items():
-            if val is None:
-                continue
-            val = float(val)
-            if np.isnan(val):
-                continue
-            if name not in self.loss_dict:
-                self.loss_dict[name] = val
-            else:
-                self.loss_dict[name] = self.alpha * self.loss_dict[name] + (1 - self.alpha) * val
-
-    def get_loss_dict(self):
-        return dict(self.loss_dict)
-
-
-class CombinedChunkLoss:
-    """Accumulate named losses across gradient-accumulation chunks (parity
-    with reference exp_util.CombinedChunkLoss, utils/exp_util.py:231-256)."""
-
-    def __init__(self):
-        self.loss_dict = None
-        self.loss_sum_dict = None
-        self.clear()
-
-    def add_loss(self, name, val):
-        self.loss_dict[name] = val
-        self.loss_sum_dict[name] += float(val)
-
-    def update_loss_dict(self, loss_dict: dict):
-        for name, val in loss_dict.items():
-            self.add_loss(name, val)
-
-    def get_total_loss(self):
-        total = sum(self.loss_dict.values())
-        self.loss_dict = {}
-        return total
-
-    def get_accumulated_loss_dict(self):
-        return self.loss_sum_dict
-
-    def clear(self):
-        from collections import defaultdict
-        self.loss_dict = {}
-        self.loss_sum_dict = defaultdict(float)
+    @classmethod
+    def from_json(cls, blob_or_path: str) -> "LossMeter":
+        if blob_or_path.lstrip().startswith("{"):
+            data = json.loads(blob_or_path)
+        else:
+            with open(blob_or_path) as f:
+                data = json.load(f)
+        m = cls(ewma_alpha=data["ewma_alpha"])
+        m._stats = data["stats"]
+        return m

@@ -14,121 +14,135 @@ from __future__ import annotations
 import numpy as np
 
 # ----------------------------------------------------------------------------
-# so(3) / se(3) maps
+# so(3) / se(3) maps -- numpy twins of the in-jit :mod:`difusion_tpu.ops.se3`.
+#
+# Everything is written in the coefficient-series form
+# ``I + c1(theta) W + c2(theta) W^2`` over the wedge matrix W, with Taylor
+# fallbacks below _SMALL_ANGLE so every map is smooth through theta -> 0
+# (the angle/axis factorization is never formed).  The log map goes through
+# the quaternion, which stays stable all the way to theta = pi.
 # ----------------------------------------------------------------------------
+
+_SMALL_ANGLE = 1e-6
 
 
 def so3_wedge(phi: np.ndarray) -> np.ndarray:
-    """Hat operator: (3,) -> (3,3) skew-symmetric (batch-aware: (N,3)->(N,3,3))."""
-    phi = np.atleast_2d(phi)
-    out = np.zeros(phi.shape[:1] + (3, 3))
-    out[:, 0, 1] = -phi[:, 2]
-    out[:, 1, 0] = phi[:, 2]
-    out[:, 0, 2] = phi[:, 1]
-    out[:, 2, 0] = -phi[:, 1]
-    out[:, 1, 2] = -phi[:, 0]
-    out[:, 2, 1] = phi[:, 0]
-    return np.squeeze(out)
+    """Hat operator: (..., 3) -> (..., 3, 3) skew-symmetric."""
+    phi = np.asarray(phi, np.float64)
+    x, y, z = phi[..., 0], phi[..., 1], phi[..., 2]
+    o = np.zeros_like(x)
+    rows = [np.stack([o, -z, y], axis=-1),
+            np.stack([z, o, -x], axis=-1),
+            np.stack([-y, x, o], axis=-1)]
+    return np.stack(rows, axis=-2)
 
 
 def so3_vee(Phi: np.ndarray) -> np.ndarray:
-    """Inverse hat operator."""
-    if Phi.ndim < 3:
-        Phi = Phi[None]
-    out = np.stack([Phi[:, 2, 1], Phi[:, 0, 2], Phi[:, 1, 0]], axis=1)
-    return np.squeeze(out)
+    """Inverse hat operator: (..., 3, 3) -> (..., 3)."""
+    Phi = np.asarray(Phi)
+    return np.stack([Phi[..., 2, 1], Phi[..., 0, 2], Phi[..., 1, 0]], axis=-1)
+
+
+def _sincc(angle: float, angle2: float):
+    """(sin t / t, (1 - cos t) / t^2, (t - sin t) / t^3) with Taylor limits."""
+    if angle < _SMALL_ANGLE:
+        return (1.0 - angle2 / 6.0, 0.5 - angle2 / 24.0,
+                1.0 / 6.0 - angle2 / 120.0)
+    s, c = np.sin(angle), np.cos(angle)
+    return s / angle, (1.0 - c) / angle2, (angle - s) / (angle2 * angle)
 
 
 def so3_exp(phi: np.ndarray) -> np.ndarray:
-    """Rodrigues formula: axis-angle (3,) -> rotation matrix (3,3)."""
-    angle = np.linalg.norm(phi)
-    if np.isclose(angle, 0.0):
-        return np.eye(3) + so3_wedge(phi)
-    axis = phi / angle
-    s, c = np.sin(angle), np.cos(angle)
-    return c * np.eye(3) + (1 - c) * np.outer(axis, axis) + s * so3_wedge(axis)
+    """Exponential map: R = I + sinc(t) W + cosc(t) W^2."""
+    phi = np.asarray(phi, np.float64)
+    a2 = float(phi @ phi)
+    c1, c2, _ = _sincc(np.sqrt(a2), a2)
+    W = so3_wedge(phi)
+    return np.eye(3) + c1 * W + c2 * (W @ W)
 
 
 def so3_log(R: np.ndarray) -> np.ndarray:
-    cos_angle = np.clip(0.5 * np.trace(R) - 0.5, -1.0, 1.0)
-    angle = np.arccos(cos_angle)
-    if np.isclose(angle, 0.0):
-        return so3_vee(R - np.eye(3))
-    return so3_vee((0.5 * angle / np.sin(angle)) * (R - R.T))
+    """Log map via the quaternion: phi = 2 atan2(|v|, w) v/|v|.  Unlike the
+    trace/skew formula this stays well-conditioned near theta = pi."""
+    q = Quaternion(matrix=np.asarray(R, np.float64))
+    w, v = q.w, q.vector
+    if w < 0.0:                      # canonical hemisphere
+        w, v = -w, -v
+    vn = np.linalg.norm(v)
+    if vn < 1e-12:
+        return 2.0 * v / max(w, 1e-12)
+    return (2.0 * np.arctan2(vn, w)) * (v / vn)
 
 
 def so3_left_jacobian(phi: np.ndarray) -> np.ndarray:
-    angle = np.linalg.norm(phi)
-    if np.isclose(angle, 0.0):
-        return np.eye(3) + 0.5 * so3_wedge(phi)
-    axis = phi / angle
-    s, c = np.sin(angle), np.cos(angle)
-    return (s / angle) * np.eye(3) + (1 - s / angle) * np.outer(axis, axis) \
-        + ((1 - c) / angle) * so3_wedge(axis)
+    """J_l = I + cosc(t) W + (t - sin t)/t^3 W^2."""
+    phi = np.asarray(phi, np.float64)
+    a2 = float(phi @ phi)
+    _, c1, c2 = _sincc(np.sqrt(a2), a2)
+    W = so3_wedge(phi)
+    return np.eye(3) + c1 * W + c2 * (W @ W)
 
 
 def so3_inv_left_jacobian(phi: np.ndarray) -> np.ndarray:
-    angle = np.linalg.norm(phi)
-    if np.isclose(angle, 0.0):
-        return np.eye(3) - 0.5 * so3_wedge(phi)
-    axis = phi / angle
-    half = 0.5 * angle
-    cot = 1.0 / np.tan(half)
-    return half * cot * np.eye(3) + (1 - half * cot) * np.outer(axis, axis) \
-        - half * so3_wedge(axis)
+    """J_l^-1 = I - W/2 + k(t) W^2,  k = 1/t^2 - (1 + cos t)/(2 t sin t)."""
+    phi = np.asarray(phi, np.float64)
+    a2 = float(phi @ phi)
+    angle = np.sqrt(a2)
+    if angle < _SMALL_ANGLE:
+        k = 1.0 / 12.0 + a2 / 720.0
+    else:
+        k = 1.0 / a2 - (1.0 + np.cos(angle)) / (2.0 * angle * np.sin(angle))
+    W = so3_wedge(phi)
+    return np.eye(3) - 0.5 * W + k * (W @ W)
 
 
 def se3_curlywedge(xi: np.ndarray) -> np.ndarray:
-    xi = np.atleast_2d(xi)
-    out = np.zeros(xi.shape[:1] + (6, 6))
-    rot = so3_wedge(xi[:, 3:6]).reshape(-1, 3, 3)
-    out[:, 0:3, 0:3] = rot
-    out[:, 0:3, 3:6] = so3_wedge(xi[:, 0:3]).reshape(-1, 3, 3)
-    out[:, 3:6, 3:6] = rot
-    return np.squeeze(out)
+    """Adjoint-algebra matrix of a twist: [[W(phi), W(rho)], [0, W(phi)]]."""
+    xi = np.asarray(xi, np.float64)
+    Wp = so3_wedge(xi[..., 3:6])
+    Wr = so3_wedge(xi[..., 0:3])
+    zero = np.zeros_like(Wp)
+    top = np.concatenate([Wp, Wr], axis=-1)
+    bot = np.concatenate([zero, Wp], axis=-1)
+    return np.concatenate([top, bot], axis=-2)
 
 
-def se3_left_jacobian_Q(xi: np.ndarray) -> np.ndarray:
-    rho, phi = xi[0:3], xi[3:6]
-    rx, px = so3_wedge(rho), so3_wedge(phi)
-    ph = np.linalg.norm(phi)
-    ph2, ph3, ph4, ph5 = ph * ph, ph**3, ph**4, ph**5
-    cph, sph = np.cos(ph), np.sin(ph)
-    m1 = 0.5
-    m2 = (ph - sph) / ph3
-    m3 = (0.5 * ph2 + cph - 1.0) / ph4
-    m4 = (ph - 1.5 * sph + 0.5 * ph * cph) / ph5
-    t1 = rx
-    t2 = px @ rx + rx @ px + px @ rx @ px
-    t3 = px @ px @ rx + rx @ px @ px - 3.0 * px @ rx @ px
-    t4 = px @ rx @ px @ px + px @ px @ rx @ px
-    return m1 * t1 + m2 * t2 + m3 * t3 + m4 * t4
+def _se3_translation_block(rho: np.ndarray, phi: np.ndarray) -> np.ndarray:
+    """Upper-right block Q of the SE(3) left Jacobian (Barfoot, "State
+    Estimation for Robotics", eq. 7.86b), assembled from the commutator
+    products of W(rho) and W(phi) with Taylor-stable coefficients."""
+    a2 = float(phi @ phi)
+    angle = np.sqrt(a2)
+    _, c_cos, c_sin3 = _sincc(angle, a2)       # (1-cos)/t^2, (t-sin)/t^3
+    if angle < _SMALL_ANGLE:
+        c4 = 1.0 / 24.0 - a2 / 720.0           # (t^2/2 + cos - 1)/t^4
+        c5 = 1.0 / 120.0 - a2 / 2520.0         # (t - 1.5 sin + t cos / 2)/t^5
+    else:
+        c4 = (0.5 * a2 + np.cos(angle) - 1.0) / (a2 * a2)
+        c5 = (angle - 1.5 * np.sin(angle)
+              + 0.5 * angle * np.cos(angle)) / (a2 * a2 * angle)
+    R_ = so3_wedge(rho)
+    P = so3_wedge(phi)
+    PR, RP = P @ R_, R_ @ P
+    PRP = PR @ P
+    return (0.5 * R_
+            + c_sin3 * (PR + RP + PRP)
+            + c4 * (P @ PR + RP @ P - 3.0 * PRP)
+            + c5 * (PRP @ P + P @ PRP))
 
 
 def se3_left_jacobian(xi: np.ndarray) -> np.ndarray:
-    phi = xi[3:6]
-    if np.isclose(np.linalg.norm(phi), 0.0):
-        return np.eye(6) + 0.5 * se3_curlywedge(xi)
-    J = so3_left_jacobian(phi)
-    Q = se3_left_jacobian_Q(xi)
-    out = np.zeros((6, 6))
-    out[0:3, 0:3] = J
-    out[0:3, 3:6] = Q
-    out[3:6, 3:6] = J
-    return out
+    xi = np.asarray(xi, np.float64)
+    J = so3_left_jacobian(xi[3:6])
+    Q = _se3_translation_block(xi[0:3], xi[3:6])
+    return np.block([[J, Q], [np.zeros((3, 3)), J]])
 
 
 def se3_inv_left_jacobian(xi: np.ndarray) -> np.ndarray:
-    phi = xi[3:6]
-    if np.isclose(np.linalg.norm(phi), 0.0):
-        return np.eye(6) - 0.5 * se3_curlywedge(xi)
-    Jinv = so3_inv_left_jacobian(phi)
-    Q = se3_left_jacobian_Q(xi)
-    out = np.zeros((6, 6))
-    out[0:3, 0:3] = Jinv
-    out[0:3, 3:6] = -Jinv @ Q @ Jinv
-    out[3:6, 3:6] = Jinv
-    return out
+    xi = np.asarray(xi, np.float64)
+    Ji = so3_inv_left_jacobian(xi[3:6])
+    Q = _se3_translation_block(xi[0:3], xi[3:6])
+    return np.block([[Ji, -Ji @ Q @ Ji], [np.zeros((3, 3)), Ji]])
 
 
 def project_orthogonal(rot: np.ndarray) -> np.ndarray:

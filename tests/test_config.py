@@ -32,12 +32,27 @@ def test_parser_flag_promotion(tmp_path):
     assert args.lr == 0.1 and args.name == "hello"
 
 
-def test_parser_exec(tmp_path):
+def test_parser_set_override(tmp_path):
+    p = tmp_path / "h.yaml"
+    p.write_text("lr: 0.001\nmapping:\n  voxel_size: 0.1\nbounds: [0, 1]\n")
+    parser = C.ArgumentParserX()
+    args = parser.parse_args([str(p), "--set", "lr=42",
+                              "--set", "mapping.voxel_size=0.05",
+                              "--set", "bounds=[2, 3]"])
+    assert args.lr == 42
+    assert args.mapping["voxel_size"] == 0.05
+    assert args.bounds == [2, 3]
+
+
+def test_parser_set_rejects_malformed(tmp_path):
     p = tmp_path / "h.yaml"
     p.write_text("lr: 0.001\n")
     parser = C.ArgumentParserX()
-    args = parser.parse_args([str(p), "--exec", "lr=42"])
-    assert args.lr == 42
+    try:
+        parser.parse_args([str(p), "--set", "lr"])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
 
 
 def test_dict_to_args_roundtrip():
