@@ -299,48 +299,70 @@ def build_optimize_samples(cfg: MapConfig, state: MapState,
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "n_iters", "lr",
-                                   "code_reg_lambda"))
+                                   "code_reg_lambda", "max_slots"))
 def optimize_latents(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
                      state: MapState, slot_ids: jnp.ndarray, rel_xyz: jnp.ndarray,
                      gt_sdf: jnp.ndarray, mask: jnp.ndarray,
                      n_iters: int = 20, lr: float = 1e-2,
-                     code_reg_lambda: float = 0.0) -> MapState:
+                     code_reg_lambda: float = 0.0,
+                     max_slots: int = 2048) -> MapState:
     """Adam-optimize latent codes of converged voxels against the clamped-NLL
-    loss (reference OptimizeProcess.do_optimize, map.py:80-113).  Runs as a
-    jitted ``fori_loop``; the whole latent table is optimized but only
-    voxels appearing in ``slot_ids`` receive gradient."""
+    loss (reference OptimizeProcess.do_optimize, map.py:80-113).
+
+    Like the reference, only the UNIQUE latents referenced by ``slot_ids``
+    are optimized (map.py:96-104): the touched slots are compacted into a
+    static (max_slots, L) working table (sort-based unique), Adam runs over
+    that table in a jitted ``fori_loop``, and the result scatters back --
+    O(max_slots) optimizer state per call instead of O(capacity).  Touched
+    slots beyond ``max_slots`` keep their fused values for this round."""
     import optax
 
+    from ..ops.segment import padded_unique_inverse
+
     n_samples = jnp.maximum(mask.sum(), 1).astype(jnp.float32)
-    seg = jnp.where(mask, slot_ids, cfg.capacity)
     w = mask.astype(jnp.float32)
 
-    def loss_fn(latents):
-        lat = latents[jnp.clip(slot_ids, 0, cfg.capacity - 1)]
-        sdf, std = decode(dec_params, spec, lat, rel_xyz)
+    # compact segment id per sample; invalid samples and budget overflow park
+    # at row max_slots (a scratch row that is never scattered back)
+    uq = padded_unique_inverse(slot_ids, valid=mask)
+    comp = jnp.minimum(uq.inverse, max_slots)
+    in_budget = w * (uq.inverse < max_slots)
+    # slot id represented by each compact row (-1 for empty rows)
+    row_slot = jax.ops.segment_max(
+        jnp.where(mask, slot_ids, -1), comp, num_segments=max_slots + 1)[:-1]
+    row_live = row_slot >= 0
+    row_slot_safe = jnp.clip(row_slot, 0, cfg.capacity - 1)
+    table0 = state.latents[row_slot_safe] * row_live[:, None]     # (K, L)
+
+    def loss_fn(table):
+        lat = table[comp]                           # scratch row decodes too;
+        sdf, std = decode(dec_params, spec, lat, rel_xyz)   # masked below
         pd = jnp.clip(sdf, -0.2, 0.2)
         gt = jnp.clip(gt_sdf, -0.2, 0.2)
         ll = 0.5 * ((gt - pd) / std) ** 2 + jnp.log(std) + 0.5 * jnp.log(2 * jnp.pi)
-        loss = jnp.sum(ll * w) / n_samples
+        loss = jnp.sum(ll * in_budget) / n_samples
         if code_reg_lambda > 0:
-            norms = jnp.linalg.norm(latents, axis=1)
-            seg_touch = jax.ops.segment_max(w, seg, num_segments=cfg.capacity + 1)[:-1]
-            loss = loss + code_reg_lambda * jnp.sum(norms * seg_touch) / n_samples
+            norms = jnp.linalg.norm(table[:-1], axis=1)
+            loss = loss + code_reg_lambda * jnp.sum(norms * row_live) / n_samples
         return loss
 
     opt = optax.adam(lr)
+    table0 = jnp.concatenate([table0, jnp.zeros((1, table0.shape[1]),
+                                                table0.dtype)])   # scratch row
 
     def body_fn(_, carry):
-        latents, opt_state = carry
-        grads = jax.grad(loss_fn)(latents)
-        updates, opt_state = opt.update(grads, opt_state, latents)
-        return optax.apply_updates(latents, updates), opt_state
+        table, opt_state = carry
+        grads = jax.grad(loss_fn)(table)
+        updates, opt_state = opt.update(grads, opt_state, table)
+        return optax.apply_updates(table, updates), opt_state
 
-    latents, _ = jax.lax.fori_loop(0, n_iters, body_fn,
-                                   (state.latents, opt.init(state.latents)))
+    table, _ = jax.lax.fori_loop(0, n_iters, body_fn, (table0, opt.init(table0)))
 
-    touched = jax.ops.segment_max(w, seg, num_segments=cfg.capacity + 1)[:-1] > 0
-    latents = jnp.where(touched[:, None], latents, state.latents)
+    scatter_slot = jnp.where(row_live, row_slot_safe, cfg.capacity)
+    latents = state.latents.at[scatter_slot].set(
+        jnp.where(row_live[:, None], table[:-1], 0.0), mode="drop")
+    touched = jnp.zeros(cfg.capacity, bool).at[scatter_slot].set(
+        True, mode="drop")
     return state._replace(latents=latents,
                           optimized=state.optimized | touched,
                           mesh_dirty=state.mesh_dirty | touched)
