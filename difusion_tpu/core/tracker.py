@@ -100,6 +100,7 @@ class TrackerConfig(NamedTuple):
             for g in args.iter_config)
         sdf = args.sdf if isinstance(args.sdf, dict) else vars(args.sdf)
         rgb = args.rgb if isinstance(args.rgb, dict) else vars(args.rgb)
+        d = cls._field_defaults
         return cls(
             iter_config=iter_config,
             sdf_robust_kernel=sdf.get("robust_kernel") or "",
@@ -111,6 +112,16 @@ class TrackerConfig(NamedTuple):
             min_grad_scale=float(rgb.get("min_grad_scale", 0.0)),
             max_depth_delta=float(rgb.get("max_depth_delta", 0.2)),
             point_budget=point_budget,
+            # speed/accuracy knobs (set all four to the reference-parity
+            # values rgb_stride=1, tols=0, float32 to reproduce reference
+            # scheduling and numerics exactly)
+            rgb_stride=int(getattr(args, "rgb_stride", d["rgb_stride"])),
+            xi_tol=float(getattr(args, "xi_tol", d["xi_tol"])),
+            energy_rel_tol=float(getattr(args, "energy_rel_tol",
+                                         d["energy_rel_tol"])),
+            sdf_compute_dtype=str(getattr(args, "sdf_compute_dtype",
+                                          d["sdf_compute_dtype"])),
+            motion_prior=str(getattr(args, "motion_prior", d["motion_prior"])),
         )
 
 

@@ -26,7 +26,12 @@ def conjugate_for_freiburg(pose):
     return Isometry.from_matrix(R, t)
 
 
-def main(out_dir: str, n_frames: int = 12):
+def main(out_dir: str, n_frames: int = 12, motion_scale: float = 0.5,
+         noise_sigma: float = 0.0, dropout: float = 0.0, seed: int = 0):
+    """``noise_sigma``: depth noise stddev as sigma * z^2 (the Kinect-like
+    quadratic model, e.g. 0.004 -> 16 mm at 2 m); ``dropout``: fraction of
+    valid pixels zeroed (sensor holes).  The depth PNGs are uint16 at
+    1/5000 m, so sensor quantization is applied by construction."""
     import cv2
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -39,12 +44,22 @@ def main(out_dir: str, n_frames: int = 12):
 
     seq = SyntheticSequence(n_frames=n_frames, h=480, w=640,
                             calib=ICLNUIMSequence.CALIB,
-                            corrugation=0.1, motion_scale=0.5)
+                            corrugation=0.1, motion_scale=motion_scale)
+    rng = np.random.default_rng(seed)
     rows = []
     for i, frame in enumerate(seq):
         cv2.imwrite(str(out / "rgb" / f"{i}.png"),
                     cv2.cvtColor(frame.rgb, cv2.COLOR_RGB2BGR))
-        cv2.imwrite(str(out / "depth" / f"{i}.png"), frame.depth)  # u16 raw
+        depth = frame.depth                                 # u16 raw units
+        if noise_sigma > 0.0 or dropout > 0.0:
+            z = depth.astype(np.float64) / seq.calib.dcam_scale
+            if noise_sigma > 0.0:
+                z = z + rng.normal(0.0, noise_sigma, z.shape) * z ** 2
+            if dropout > 0.0:
+                z = np.where(rng.random(z.shape) < dropout, 0.0, z)
+            depth = np.clip(z * seq.calib.dcam_scale + 0.5,
+                            0, 65535).astype(np.uint16)
+        cv2.imwrite(str(out / "depth" / f"{i}.png"), depth)
         w = conjugate_for_freiburg(frame.gt_pose)
         qx, qy, qz = w.q.vector
         rows.append([i, w.t[0], w.t[1], w.t[2], qx, qy, qz, w.q.w])
@@ -58,4 +73,16 @@ def main(out_dir: str, n_frames: int = 12):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 12)
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("out_dir")
+    p.add_argument("n_frames", nargs="?", type=int, default=12)
+    p.add_argument("--motion-scale", type=float, default=0.5)
+    p.add_argument("--noise-sigma", type=float, default=0.0,
+                   help="depth noise stddev = sigma * z^2 (m)")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="fraction of depth pixels zeroed")
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    main(a.out_dir, a.n_frames, a.motion_scale, a.noise_sigma, a.dropout,
+         a.seed)
