@@ -74,6 +74,7 @@ class SLAMSystem:
                  mesh_resolution: int = 4,
                  max_triangles: int = 1 << 22,
                  mesh_max_std: float = 0.15,
+                 mesh_fast: bool = False,
                  meshing: bool = True,
                  meshing_interval: int = -1,
                  run_async: bool = False,
@@ -94,7 +95,8 @@ class SLAMSystem:
         mesher_cls = HashMeshExtractor if self.is_hash else MeshExtractor
         self.mesher = mesher_cls(map_cfg, dec_params, spec,
                                  voxel_resolution=mesh_resolution,
-                                 max_triangles=max_triangles) if meshing else None
+                                 max_triangles=max_triangles,
+                                 fast=mesh_fast) if meshing else None
         self.integrate_interval = integrate_interval
         # the reference parses meshing_interval but meshing piggybacks on the
         # integrate branch (SURVEY.md 2.5); here it is honored when set
@@ -156,6 +158,9 @@ class SLAMSystem:
                   depth_cut=(float(getattr(args, "depth_cut_min", 0.5)),
                              float(getattr(args, "depth_cut_max", 5.0))),
                   mesh_resolution=int(getattr(args, "resolution", 4)),
+                  # reference extract_mesh defaults fast=True (map.py:581);
+                  # config key `mesh_fast` opts the incremental path in
+                  mesh_fast=bool(getattr(args, "mesh_fast", False)),
                   meshing_interval=int(getattr(args, "meshing_interval", -1)),
                   run_async=bool(getattr(args, "run_async", False)),
                   meshing=meshing,

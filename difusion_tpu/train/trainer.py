@@ -281,6 +281,12 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
                    hyper["snapshot_frequency"]))
         + list(hyper.get("additional_snapshots", []))))
 
+    # structured metrics stream (the reference logs scalars to tensorboardX,
+    # network_trainer.py:18-33; here one JSONL row per log interval, plotted
+    # by tools/plot_training.py)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    metrics_f = open(save_dir / "metrics.jsonl", "a")
+
     rng = np.random.default_rng(0)
     key = jax.random.key(1)
     it = 0
@@ -308,6 +314,10 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
                 meter.update(vals)
                 logging.info("epoch %d it %d: %s", epoch, it,
                              {k: round(v, 5) for k, v in vals.items()})
+                metrics_f.write(json.dumps(
+                    {"epoch": epoch, "it": it, "lr_dec": float(lr_dec),
+                     "lr_enc": float(lr_enc), "t": time.time(), **vals}) + "\n")
+                metrics_f.flush()
             if 0 < max_steps <= it:
                 break
         dt = time.perf_counter() - t_epoch
@@ -318,6 +328,7 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
             save_checkpoint(save_dir, epoch, state, hyper)
         if 0 < max_steps <= it:
             break
+    metrics_f.close()
     return state
 
 
