@@ -161,14 +161,46 @@ def _window_stats(pc_map: jnp.ndarray, valid: jnp.ndarray, window: int,
     vf = valid.astype(jnp.float32)
 
     if backend == "auto":
-        # measured: the Pallas variant compiles but lane-misaligned window
-        # slices force Mosaic into per-lane shifts ~1000x slower than XLA's
-        # fused patch stacks (see ops/stencil_pallas.py) -- XLA wins here
-        backend = "jnp"
+        # measured (xprof, round 2): the patch-stack formulation lets XLA
+        # split the 11 reductions into ~10 fusions that each re-read the
+        # window data; the scan keeps all 11 accumulators in ONE pass.
+        # (The Pallas variant compiles but lane-misaligned window slices
+        # force Mosaic into per-lane shifts ~1000x slower -- see
+        # ops/stencil_pallas.py.)
+        backend = "scan"
     if backend.startswith("pallas"):
         from ..ops.stencil_pallas import window_stat_sums
         sums = window_stat_sums(px, py, pz, vf, window, outlier_r2, normal_r2,
                                 interpret=(backend == "pallas_interpret"))
+    elif backend == "scan":
+        ppx = jnp.pad(px, window)
+        ppy = jnp.pad(py, window)
+        ppz = jnp.pad(pz, window)
+        pvf = jnp.pad(vf, window)
+        offs = jnp.asarray([(dv, du) for dv in range(-window, window + 1)
+                            for du in range(-window, window + 1)], jnp.int32)
+
+        def body(acc, off):
+            pos = (window + off[0], window + off[1])
+            nx_ = jax.lax.dynamic_slice(ppx, pos, (h, w))
+            ny_ = jax.lax.dynamic_slice(ppy, pos, (h, w))
+            nz_ = jax.lax.dynamic_slice(ppz, pos, (h, w))
+            nok = jax.lax.dynamic_slice(pvf, pos, (h, w))
+            dx = nx_ - px
+            dy = ny_ - py
+            dz = nz_ - pz
+            d2 = dx * dx + dy * dy + dz * dz
+            wgt = jnp.where(d2 <= normal_r2, nok, 0.0)
+            upd = jnp.stack([jnp.where(d2 <= outlier_r2, nok, 0.0), wgt,
+                             wgt * nx_, wgt * ny_, wgt * nz_,
+                             wgt * nx_ * nx_, wgt * nx_ * ny_,
+                             wgt * nx_ * nz_, wgt * ny_ * ny_,
+                             wgt * ny_ * nz_, wgt * nz_ * nz_])
+            return acc + upd, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((11, h, w), jnp.float32),
+                              offs, unroll=2 * window + 1)
+        sums = tuple(acc)
     else:
         def patches(img):
             padded = jnp.pad(img, window)

@@ -268,3 +268,19 @@ def test_pallas_window_stencil_matches_jnp():
     mp_ = np.asarray(ap[2])
     dots = np.abs(np.sum(np.asarray(ap[1])[mp_] * np.asarray(bp[1])[mp_], -1))
     assert dots.min() > 0.9999, dots.min()
+
+
+def test_scan_window_stencil_matches_jnp():
+    """The scan-accumulator stencil (default) must match the patch-stack
+    formulation exactly."""
+    rng = np.random.default_rng(12)
+    H, W = 48, 64
+    pc = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+    ok = jnp.asarray(rng.random((H, W)) > 0.2)
+    a = T._window_stats(pc, ok, 3, 0.25, 4, 1.0, 3.0, backend="jnp")
+    b = T._window_stats(pc, ok, 3, 0.25, 4, 1.0, 3.0, backend="scan")
+    assert (np.asarray(a[0]) == np.asarray(b[0])).all()
+    assert (np.asarray(a[2]) == np.asarray(b[2])).all()
+    m = np.asarray(a[2])
+    dots = np.abs(np.sum(np.asarray(a[1])[m] * np.asarray(b[1])[m], axis=-1))
+    assert (dots > 0.9999).mean() > 0.99, dots.min()
