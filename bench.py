@@ -3,14 +3,17 @@ sequence (640x480 RGB-D, reference intrinsics), the BASELINE.json headline
 metric.  No dataset files are required: the analytic renderer drives the
 identical compute path (preprocess -> GN track -> encoder fusion).
 
-Methodology: several full passes over the sequence, each timed around the
-frame loop with ONE device sync at the end of the pass (the final pose
-transitively depends on every frame's preprocess+track, and the map state on
-every integrate, so the sync covers all enqueued work).  Per-frame or
-per-segment syncs are NOT taken inside the loop: on this tunneled backend a
-single host<->device round trip costs ~30 ms, which would measure transport
-latency rather than pipeline throughput.  The headline value is the MEAN
-fps over passes; the best pass is reported alongside.
+Methodology.  Frames are processed in CHUNKS of 12: each chunk is one
+``slam.track_fuse_scan`` dispatch (a ``lax.scan`` over the per-frame
+program -- numerically identical to per-frame calls, tests/test_scan.py), and
+each chunk's packed frames upload as one stacked buffer from a background
+feeder thread.  On this tunneled backend a dispatch costs ~1-2 ms and a
+device->host sync ~28 ms, and after the first sync the runtime pays that
+dispatch overhead on EVERY program launch -- chunking keeps the overhead at
+~3 dispatches per pass instead of 36.  One sync per pass (the final pose +
+a map latent transitively depend on every frame's track and every
+integrate).  The headline is the MEAN fps over passes; the best pass is
+reported alongside.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "best",
 "passes"} where vs_baseline is the mean relative to the BASELINE north-star
@@ -20,6 +23,9 @@ import json
 import os
 import time
 
+CHUNK = 12
+PASSES = 6
+
 
 def main():
     import jax
@@ -28,7 +34,10 @@ def main():
     from difusion_tpu.utils.jaxtools import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
+    import jax.numpy as jnp
+
     from difusion_tpu.core import map as M
+    from difusion_tpu.core import tracker as tracker_mod
     from difusion_tpu.core.tracker import TrackerConfig
     from difusion_tpu.data import SyntheticSequence
     from difusion_tpu.ops.imgproc import Intrinsic
@@ -41,7 +50,6 @@ def main():
         from difusion_tpu.slam import load_prior
         dec, enc, spec_d = load_prior(hyper, 300)
     else:
-        import jax.numpy as jnp
         from difusion_tpu.models.decoder import (DecoderSpec, fold_decoder_params,
                                                  init_decoder_params)
         from difusion_tpu.models.encoder import (EncoderSpec, fold_encoder_params,
@@ -51,8 +59,9 @@ def main():
         enc = fold_encoder_params(init_encoder_params(EncoderSpec(), jax.random.key(1)))
 
     calib = Intrinsic(481.2, 480.0, 319.5, 239.5, 5000.0)  # ICL-NUIM
-    seq = SyntheticSequence(n_frames=40, h=480, w=640, calib=calib,
-                            corrugation=0.1, motion_scale=0.5)
+    n_bench = 3 * CHUNK
+    seq = SyntheticSequence(n_frames=1 + CHUNK + n_bench, h=480, w=640,
+                            calib=calib, corrugation=0.1, motion_scale=0.5)
     map_cfg = M.MapConfig(bound_min=(-3.5, -3.5, -0.5), n_xyz=(70, 70, 40),
                           voxel_size=0.1, latent_dim=spec_d.latent_size,
                           capacity=1 << 16, prune_min_vox_obs=16,
@@ -65,40 +74,36 @@ def main():
     import queue
     import threading
 
-    from difusion_tpu.core import tracker as tracker_mod
-    import jax.numpy as jnp
-
-    # pre-render on the host (real datasets decode PNGs in a few ms; the
-    # analytic renderer takes far longer and must stay out of the loop)
+    h, w = 480, 640
+    # pre-render + pack on the host (real datasets decode PNGs in a few ms;
+    # the analytic renderer takes far longer and must stay out of the loop)
     all_frames = [next(seq) for _ in range(len(seq))]
+    packed_np = [tracker_mod.pack_frame(f.rgb, f.depth, calib.dcam_scale)
+                 for f in all_frames]
 
-    # warmup: compile preprocess/GN/integrate on identically-shaped frames
-    for f in all_frames[:4]:
-        system.process_frame(f)
-    # drain before starting the clock (np.asarray is a real transfer;
-    # block_until_ready can be a no-op on tunneled backends, and the last
-    # pose transitively depends on every frame's preprocess+track)
-    np.asarray(system.tracker.pose_history[-1].t)
+    # warmup: frame 0 (set_pose path) + one chunk (compiles the scan)
+    system.process_frame(all_frames[0],
+                         packed=jnp.asarray(packed_np[0]))
+    system.process_chunk(jnp.asarray(np.stack(packed_np[1:1 + CHUNK])), h, w)
+    np.asarray(system.tracker.last_pose.t)   # drain; compile is done
 
-    def sync():
-        np.asarray(system.tracker.pose_history[-1].t)
-        np.asarray(system.state.latents[0, 0])
+    bench_chunks = [np.stack(packed_np[1 + CHUNK + i:1 + CHUNK + i + CHUNK])
+                    for i in range(0, n_bench, CHUNK)]
 
-    # feeder thread packs + uploads; main thread tracks (the run_sequence
-    # pipeline, timed around the frame loop only)
-    bench_frames = all_frames[4:]
-    n = len(bench_frames)
-    passes = 6
-    q = queue.Queue(maxsize=3)
+    q = queue.Queue(maxsize=2)
 
     def feeder():
-        for _ in range(passes):
-            for f in bench_frames:
-                q.put((f, jnp.asarray(tracker_mod.pack_frame(
-                    f.rgb, f.depth, calib.dcam_scale))))
+        for _ in range(PASSES):
+            for c in bench_chunks:
+                q.put(jnp.asarray(c))       # one stacked upload per chunk
         q.put(None)
 
     threading.Thread(target=feeder, daemon=True).start()
+
+    def sync():
+        np.asarray(system.tracker.last_pose.t)
+        np.asarray(system.state.latents[0, 0])
+
     pass_t = []
     i = 0
     t0 = time.perf_counter()
@@ -106,15 +111,14 @@ def main():
         item = q.get()
         if item is None:
             break
-        frame, packed = item
-        system.process_frame(frame, packed=packed)
-        i += 1
-        if i % n == 0:                       # end of a pass: drain + restart
+        system.process_chunk(item, h, w)
+        i += CHUNK
+        if i % n_bench == 0:                 # end of a pass: drain + restart
             sync()
             pass_t.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
 
-    fps = [n / t for t in pass_t]
+    fps = [n_bench / t for t in pass_t]
     mean_fps = float(np.mean(fps))
     best_fps = float(np.max(fps))
     print(json.dumps({"metric": "synthetic_icl_track_fuse_fps",

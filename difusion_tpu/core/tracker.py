@@ -338,8 +338,20 @@ def _preprocess_core(tcfg: TrackerConfig, calib: Intrinsic,
     pts = pc_map.reshape(-1, 3)
     nrm = normals.reshape(-1, 3)
     mask = ok_sub.reshape(-1)
+    # camera frustum at the depth cut bounds every valid point -> the box
+    # filter can use one exact linear cell key (single sort) instead of a
+    # collision-checked lexsort
+    hs, ws = d_sub.shape
+    ax = [(0.0 - calib.cx * sc) / (calib.fx * sc),
+          (ws - 1 - calib.cx * sc) / (calib.fx * sc)]
+    ay = [(0.0 - calib.cy * sc) / (calib.fy * sc),
+          (hs - 1 - calib.cy * sc) / (calib.fy * sc)]
+    zs = [tcfg.depth_cut_min, tcfg.depth_cut_max]
+    xs = [a * z for a in ax for z in zs]
+    ys = [a * z for a in ay for z in zs]
+    aabb = ((min(xs), min(ys), zs[0]), (max(xs), max(ys), zs[1]))
     pts_f, nrm_f, mask_f = point_box_filter(pts, nrm, mask, tcfg.box_filter_size,
-                                            tcfg.point_budget)
+                                            tcfg.point_budget, aabb=aabb)
     return ProcessedFrame(pyramid=pyramid, pts_cam=pts_f, normals_cam=nrm_f,
                           pc_mask=mask_f)
 
@@ -574,7 +586,10 @@ class SDFTracker:
 
     All per-frame state -- poses included -- stays on device, so a tracked
     frame dispatches asynchronously with zero host round-trips (the reference
-    syncs every GN iteration).  Poses materialize as :class:`Isometry` only
+    syncs every GN iteration).  Poses are stored as stacked device CHUNKS
+    ((K, 3, 3), (K, 3)) -- one chunk per commit, K > 1 for scan-mode commits
+    (:func:`difusion_tpu.slam.track_fuse_scan`) -- so a K-frame scan adds no
+    per-pose slicing dispatches.  They materialize as :class:`Isometry` only
     on explicit export (:attr:`all_pd_pose`, :meth:`pose_at`)."""
 
     def __init__(self, map_cfg: M.MapConfig, tcfg: TrackerConfig,
@@ -585,7 +600,9 @@ class SDFTracker:
         self.dec_params = dec_params
         self.spec = spec
         self.calib = calib
-        self.pose_history: list = []            # device Pose per frame
+        self._pose_chunks: list = []            # device (Rs (K,3,3), ts (K,3))
+        self._n_poses = 0
+        self.last_pose: Optional[Pose] = None   # (3,3)/(3,) device Pose
         self.last_pyramid: Optional[Pyramid] = None
         self.last_processed: Optional[ProcessedFrame] = None
         self.n_unstable = jnp.zeros((), jnp.int32)
@@ -594,21 +611,41 @@ class SDFTracker:
 
     @property
     def n_tracked(self) -> int:
-        return len(self.pose_history)
+        return self._n_poses
+
+    def append_pose(self, pose: Pose) -> None:
+        self._pose_chunks.append((pose.R[None], pose.t[None]))
+        self._n_poses += 1
+        self.last_pose = pose
+
+    def append_pose_chunk(self, Rs: jnp.ndarray, ts: jnp.ndarray) -> None:
+        """Commit a scan chunk of poses ((K, 3, 3), (K, 3)) in one append."""
+        self._pose_chunks.append((Rs, ts))
+        self._n_poses += int(Rs.shape[0])
+        self.last_pose = Pose(Rs[-1], ts[-1])
+
+    def _history_arrays(self):
+        Rs = np.asarray(jnp.concatenate([c[0] for c in self._pose_chunks]),
+                        np.float64)
+        ts = np.asarray(jnp.concatenate([c[1] for c in self._pose_chunks]),
+                        np.float64)
+        return Rs, ts
 
     def pose_at(self, i: int) -> Isometry:
-        p = self.pose_history[i]
-        return Isometry.from_matrix(np.asarray(p.R, np.float64),
-                                    np.asarray(p.t, np.float64), ortho=True)
+        if i in (-1, self._n_poses - 1) and self.last_pose is not None:
+            p = self.last_pose
+            return Isometry.from_matrix(np.asarray(p.R, np.float64),
+                                        np.asarray(p.t, np.float64), ortho=True)
+        Rs, ts = self._history_arrays()
+        return Isometry.from_matrix(Rs[i], ts[i], ortho=True)
 
     @property
     def all_pd_pose(self) -> list:
         """Pose history as host Isometries.  The whole history transfers as
         two stacked arrays (one round trip each), not per pose."""
-        if not self.pose_history:
+        if not self._pose_chunks:
             return []
-        Rs = np.asarray(jnp.stack([p.R for p in self.pose_history]), np.float64)
-        ts = np.asarray(jnp.stack([p.t for p in self.pose_history]), np.float64)
+        Rs, ts = self._history_arrays()
         return [Isometry.from_matrix(R, t, ortho=True) for R, t in zip(Rs, ts)]
 
     def track_camera(self, state: M.MapState, rgb: jnp.ndarray,
@@ -627,7 +664,7 @@ class SDFTracker:
                                                 packed, h, w)
             return self._track_processed(state, processed, set_pose)
         init = self._gn_init()
-        last = self.pose_history[-1]
+        last = self.last_pose
         processed, res = preprocess_and_track(
             self.tcfg, self.map_cfg, self.spec, self.calib, self.dec_params,
             state, last.R, last.t, self.last_pyramid, packed, h, w,
@@ -635,7 +672,7 @@ class SDFTracker:
         return self._commit_result(processed, res)
 
     def _gn_init(self) -> Pose:
-        assert self.pose_history, "first frame needs set_pose"
+        assert self.last_pose is not None, "first frame needs set_pose"
         if self.tcfg.motion_prior == "constant_velocity":
             return self.last_delta
         # cached: rebuilding eye/zeros costs ~3 ms/frame of eager dispatch on
@@ -651,7 +688,7 @@ class SDFTracker:
         self.rgb_weight = res.rgb_weight
         self.last_pyramid = processed.pyramid
         self.last_processed = processed
-        self.pose_history.append(final_pose)
+        self.append_pose(final_pose)
         return final_pose
 
     def _track_processed(self, state: M.MapState, processed: ProcessedFrame,
@@ -662,9 +699,9 @@ class SDFTracker:
                 jnp.asarray(set_pose.t.astype(np.float32)))
             self.last_pyramid = processed.pyramid
             self.last_processed = processed
-            self.pose_history.append(final_pose)
+            self.append_pose(final_pose)
             return final_pose
-        last = self.pose_history[-1]
+        last = self.last_pose
         init = self._gn_init()
         res = gauss_newton(
             self.tcfg, self.map_cfg, self.spec, self.calib,

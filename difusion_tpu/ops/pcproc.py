@@ -21,7 +21,7 @@ approximate under its ``checks`` budget).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,29 +143,61 @@ def estimate_normals(points: jnp.ndarray, valid: jnp.ndarray,
 
 def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
                      valid: jnp.ndarray, voxel_size: float,
-                     out_budget: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                     out_budget: int,
+                     aabb: Optional[tuple] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Voxel-mean downsample: average points/normals per occupied voxel
     (reference point_box_filter).  Sort-based exact unique; segment ids are
     prefix-packed so the first ``out_budget`` segments are the output.
+
+    ``aabb``: optional static ((x0, y0, z0), (x1, y1, z1)) bound on the valid
+    points (e.g. the camera frustum at the depth cut).  When the implied cell
+    grid fits int32, cells pack into ONE exact linear key and the filter
+    costs a single sort; without it, four lexsort passes de-alias the cell
+    hash (a TPU sort is ~150 full-array compare-exchange sweeps, so the
+    keying dominates the cost).  Out-of-bound valid points are dropped.
     Returns (points (M, 3), normals (M, 3), ok (M,))."""
     n = points.shape[0]
     ref = jnp.floor(points / voxel_size).astype(jnp.int32)
-    # order-preserving key: pack 3x ~20-bit offsets (bounded scenes) into i64
-    # is unavailable (no x64) -- use a collision-checked sort on the hash plus
-    # the coords as tiebreaker via lexsort over two keys
-    h = _hash_cells(ref)
-    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
-    order = jnp.lexsort((ref[:, 2], ref[:, 1], ref[:, 0], h))
-    h_s = h[order]
-    ref_s = ref[order]
-    same = (h_s == jnp.roll(h_s, 1)) & jnp.all(ref_s == jnp.roll(ref_s, 1, axis=0), axis=1)
+
+    packed = None
+    if aabb is not None:
+        import math
+        lo = [int(math.floor(c / voxel_size)) - 1 for c in aabb[0]]
+        hi = [int(math.floor(c / voxel_size)) + 1 for c in aabb[1]]
+        dims = [h - l + 1 for l, h in zip(lo, hi)]
+        if dims[0] * dims[1] * dims[2] < 2 ** 31:
+            packed = (lo, dims)
+
+    if packed is not None:
+        lo, dims = packed
+        ix = ref - jnp.asarray(lo, jnp.int32)
+        inb = valid & jnp.all((ix >= 0) & (ix < jnp.asarray(dims, jnp.int32)),
+                              axis=1)
+        key = (ix[:, 0] * dims[1] + ix[:, 1]) * dims[2] + ix[:, 2]
+        key = jnp.where(inb, key, jnp.int32(2 ** 31 - 1))   # invalid sorts last
+        order = jnp.argsort(key)
+        key_s = key[order]
+        same = key_s == jnp.roll(key_s, 1)
+        v_s = inb[order].astype(points.dtype)
+    else:
+        # order-preserving key: pack 3x ~20-bit offsets (bounded scenes) into
+        # i64 is unavailable (no x64) -- use a collision-checked sort on the
+        # hash plus the coords as tiebreaker via lexsort over two keys
+        h = _hash_cells(ref)
+        h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
+        order = jnp.lexsort((ref[:, 2], ref[:, 1], ref[:, 0], h))
+        h_s = h[order]
+        ref_s = ref[order]
+        same = (h_s == jnp.roll(h_s, 1)) & jnp.all(
+            ref_s == jnp.roll(ref_s, 1, axis=0), axis=1)
+        v_s = valid[order].astype(points.dtype)
     seg_start = ~same
     seg_start = seg_start.at[0].set(True)
     seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1             # (N,)
 
     p_s = points[order]
     n_s = normals[order]
-    v_s = valid[order].astype(points.dtype)
     sums_p = jax.ops.segment_sum(p_s * v_s[:, None], seg_id, num_segments=n)
     sums_n = jax.ops.segment_sum(n_s * v_s[:, None], seg_id, num_segments=n)
     cnts = jax.ops.segment_sum(v_s, seg_id, num_segments=n)

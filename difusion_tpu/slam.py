@@ -40,6 +40,65 @@ from .ops.imgproc import Intrinsic
 from .utils.motion import Isometry, ate_rmse
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("tcfg", "map_cfg", "spec", "calib",
+                                   "h", "w"))
+def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
+                    calib: Intrinsic, dec_params, enc_params, state,
+                    last_R, last_t, prev_pyr, rgb_weight, n_unstable,
+                    delta_R, delta_t, packed_chunk, do_integrate, h: int,
+                    w: int):
+    """K sequential frame steps (unpack + preprocess + GN track + optional
+    encoder fusion) as ONE ``lax.scan`` dispatch.
+
+    Numerically identical to K ``process_frame`` calls (tested in
+    tests/test_scan.py): the scan body is the same per-frame program; only
+    the dispatch granularity changes.  On a remote/tunneled device transport
+    every dispatch pays an RPC round trip, so batching K frames into one
+    program amortizes that away; on a local TPU host it simply removes K-1
+    dispatch latencies.  The reference has no analog -- its per-frame loop
+    syncs to the host every GN iteration (reference tracker.py:170,218,272).
+
+    ``packed_chunk``: (K, L) stacked :func:`~.core.tracker.pack_frame`
+    buffers.  ``do_integrate``: (K,) bool -- fuse that frame's point cloud
+    into the map after tracking (the ``integrate_interval`` schedule).
+    Returns (carry, (Rs, ts, energies)) where carry holds the final map
+    state and tracker temporal state.
+    """
+    integrate = (HM.integrate_keyframe if isinstance(map_cfg, HM.HashMapConfig)
+                 else M.integrate_keyframe)
+
+    def step(carry, inp):
+        state, lR, lt, prev, rw, nu, dR, dt = carry
+        packed, integ = inp
+        cur = tracker_mod.preprocess_frame_packed(tcfg, calib, packed, h, w)
+        if tcfg.motion_prior == "constant_velocity":
+            iR, it = dR, dt
+        else:
+            iR = jnp.eye(3, dtype=jnp.float32)
+            it = jnp.zeros(3, jnp.float32)
+        res = tracker_mod.gauss_newton(tcfg, map_cfg, spec, calib, dec_params,
+                                       state, lR, lt, prev, cur, rw, nu,
+                                       iR, it)
+
+        def fuse(st):
+            w_pts = cur.pts_cam @ res.final_R.T + res.final_t
+            w_nrm = cur.normals_cam @ res.final_R.T
+            return integrate(map_cfg, enc_params, st, w_pts, w_nrm,
+                             cur.pc_mask)
+
+        state = jax.lax.cond(integ, fuse, lambda st: st, state)
+        carry = (state, res.final_R, res.final_t, cur.pyramid,
+                 res.rgb_weight, res.n_unstable, res.delta_R, res.delta_t)
+        return carry, (res.final_R, res.final_t, res.final_energy)
+
+    carry0 = (state, last_R, last_t, prev_pyr, rgb_weight, n_unstable,
+              delta_R, delta_t)
+    return jax.lax.scan(step, carry0, (packed_chunk, do_integrate))
+
+
 def load_prior(hyper_path: str, use_epoch: int = -1):
     """Load + fold a prior for the SLAM path.  Reads the reference's torch
     checkpoints (or a previously cached ``prior.npz`` next to hyper.json,
@@ -252,6 +311,42 @@ class SLAMSystem:
         if self._mesh_future is not None:
             self._mesh_future.result()
             self._mesh_future = None
+
+    # -- chunked step (one dispatch per K frames) ----------------------------
+
+    def process_chunk(self, packed_chunk: jnp.ndarray, h: int, w: int):
+        """Track + fuse K frames as ONE :func:`track_fuse_scan` dispatch.
+
+        Same per-frame semantics as K :meth:`process_frame` calls with the
+        ``integrate_interval`` schedule; mesh extraction (if enabled) runs
+        once after the chunk, which matches the reference's behavior of
+        meshing on integrate frames when ``meshing_interval`` divides the
+        chunk size.  Frame 0 must have been processed via
+        :meth:`process_frame` first (it seeds the pose).  Latent optimize is
+        a host-scheduled path and is not folded into the scan.
+        """
+        assert self.tracker.n_tracked > 0, "process frame 0 first (set_pose)"
+        assert not self.latent_optimize, \
+            "latent_optimize uses the per-frame path"
+        K = int(packed_chunk.shape[0])
+        start = self.tracker.n_tracked
+        do_integrate = jnp.asarray(
+            [(start + k) % self.integrate_interval == 0 for k in range(K)])
+        tr = self.tracker
+        carry, (Rs, ts, energies) = track_fuse_scan(
+            tr.tcfg, self.map_cfg, self.spec, tr.calib, self.dec_params,
+            self.enc_params, self.state, tr.last_pose.R, tr.last_pose.t,
+            tr.last_pyramid, tr.rgb_weight, tr.n_unstable,
+            tr.last_delta.R, tr.last_delta.t, packed_chunk, do_integrate,
+            h, w)
+        (self.state, _, _, tr.last_pyramid, tr.rgb_weight, tr.n_unstable,
+         dR, dt) = carry
+        tr.last_delta = tracker_mod.Pose(dR, dt)
+        tr.append_pose_chunk(Rs, ts)
+        if self.mesher is not None and bool(np.any(np.asarray(do_integrate))):
+            self.state = self.mesher.extract(self.state,
+                                             max_std=self.mesh_max_std)
+        return tr.last_pose
 
     # -- offline driver ------------------------------------------------------
 

@@ -84,6 +84,24 @@ def test_point_box_filter_exact_means():
         assert any(np.allclose(e, g, atol=1e-4) for g in got)
 
 
+def test_point_box_filter_aabb_matches_lexsort():
+    """The frustum-keyed single-sort path produces the same voxel means as
+    the generic lexsort path (different output order allowed)."""
+    rng = np.random.default_rng(5)
+    pts = _cloud(rng, 1024, scale=1.5)
+    normals = _cloud(rng, 1024)
+    valid = rng.random(1024) > 0.1
+    vs = 0.1
+    a = pcproc.point_box_filter(jnp.asarray(pts), jnp.asarray(normals),
+                                jnp.asarray(valid), vs, out_budget=1024)
+    b = pcproc.point_box_filter(jnp.asarray(pts), jnp.asarray(normals),
+                                jnp.asarray(valid), vs, out_budget=1024,
+                                aabb=((-2.0, -2.0, -2.0), (2.0, 2.0, 2.0)))
+    pa = {tuple(np.round(r, 5)) for r in np.asarray(a[0])[np.asarray(a[2])]}
+    pb = {tuple(np.round(r, 5)) for r in np.asarray(b[0])[np.asarray(b[2])]}
+    assert pa == pb
+
+
 def test_compact():
     valid = jnp.asarray(np.array([False, True, False, True, True, False]))
     vals = jnp.arange(6)

@@ -1,0 +1,125 @@
+"""Chunked scan dispatch (slam.track_fuse_scan) equivalence: K frames run as
+one lax.scan must produce the same poses and map state as K per-frame calls
+(the per-frame path is the reference-parity baseline, main.py refresh loop)."""
+import numpy as np
+import pytest
+
+import conftest
+
+import jax
+import jax.numpy as jnp
+
+from difusion_tpu.core import hash_map as HM
+from difusion_tpu.core import map as M
+from difusion_tpu.core import tracker as tracker_mod
+from difusion_tpu.core.tracker import TrackerConfig
+from difusion_tpu.data import SyntheticSequence
+from difusion_tpu.models.decoder import fold_decoder_params
+from difusion_tpu.models.encoder import fold_encoder_params
+from difusion_tpu.ops.imgproc import Intrinsic
+from difusion_tpu.slam import SLAMSystem
+
+pytestmark = pytest.mark.skipif(not conftest.reference_ckpt_available(),
+                                reason="reference checkpoint unavailable")
+
+CALIB = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
+
+
+@pytest.fixture(scope="module")
+def prior():
+    from difusion_tpu.models import torch_import as TI
+    dec_t, enc_t, spec_d, _, _ = TI.load_torch_prior(conftest.REFERENCE_CKPT, 300)
+    dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
+    enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
+    return dec, enc, spec_d
+
+
+def _system(prior, map_cfg=None, **kw):
+    dec, enc, spec = prior
+    if map_cfg is None:
+        map_cfg = M.MapConfig(bound_min=(-2.0, -2.0, -0.5), n_xyz=(40, 40, 40),
+                              voxel_size=0.1, latent_dim=29, capacity=1 << 14,
+                              prune_min_vox_obs=4, ignore_count_th=1.0,
+                              encoder_count_th=600.0)
+    tcfg = TrackerConfig(point_budget=4096,
+                         motion_prior=kw.pop("motion_prior", "none"))
+    defaults = dict(integrate_interval=3, depth_cut=(0.5, 5.0), meshing=False)
+    defaults.update(kw)
+    return SLAMSystem(map_cfg, tcfg, dec, enc, spec, CALIB, **defaults)
+
+
+def _frames(n=7):
+    seq = SyntheticSequence(n_frames=n, h=120, w=160, calib=CALIB,
+                            corrugation=0.1, motion_scale=0.6)
+    return [next(seq) for _ in range(n)]
+
+
+def _run_pair(prior, frames, map_cfg=None, motion_prior="none"):
+    """(per-frame system, chunked system) over the same frames."""
+    kw = dict(map_cfg=map_cfg, motion_prior=motion_prior)
+    ref = _system(prior, **kw)
+    for f in frames:
+        ref.process_frame(f)
+
+    chunked = _system(prior, **kw)
+    chunked.process_frame(frames[0])
+    h, w = frames[0].depth.shape
+    packed = jnp.stack([jnp.asarray(tracker_mod.pack_frame(
+        f.rgb, f.depth, CALIB.dcam_scale)) for f in frames[1:]])
+    chunked.process_chunk(packed, h, w)
+    return ref, chunked
+
+
+def test_scan_matches_per_frame_poses_and_map(prior):
+    frames = _frames(7)
+    ref, chunked = _run_pair(prior, frames)
+
+    assert chunked.tracker.n_tracked == ref.tracker.n_tracked == 7
+    for pr, pc in zip(ref.tracker.all_pd_pose, chunked.tracker.all_pd_pose):
+        np.testing.assert_allclose(pc.matrix, pr.matrix, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.state.latents),
+                               np.asarray(ref.state.latents), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(chunked.state.obs_count),
+                                  np.asarray(ref.state.obs_count))
+
+
+def test_scan_split_chunks_match_single_chunk(prior):
+    """Two chunks of 3 == one chunk of 6 (carry round-trips correctly)."""
+    frames = _frames(7)
+    one = _system(prior)
+    one.process_frame(frames[0])
+    h, w = frames[0].depth.shape
+    pk = [jnp.asarray(tracker_mod.pack_frame(f.rgb, f.depth, CALIB.dcam_scale))
+          for f in frames[1:]]
+    one.process_chunk(jnp.stack(pk), h, w)
+
+    two = _system(prior)
+    two.process_frame(frames[0])
+    two.process_chunk(jnp.stack(pk[:3]), h, w)
+    two.process_chunk(jnp.stack(pk[3:]), h, w)
+
+    for pa, pb in zip(one.tracker.all_pd_pose, two.tracker.all_pd_pose):
+        np.testing.assert_allclose(pb.matrix, pa.matrix, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(two.state.latents),
+                               np.asarray(one.state.latents), atol=1e-6)
+
+
+def test_scan_constant_velocity_prior(prior):
+    frames = _frames(6)
+    ref, chunked = _run_pair(prior, frames, motion_prior="constant_velocity")
+    for pr, pc in zip(ref.tracker.all_pd_pose, chunked.tracker.all_pd_pose):
+        np.testing.assert_allclose(pc.matrix, pr.matrix, atol=1e-5)
+
+
+def test_scan_hash_backend(prior):
+    dec, enc, spec = prior
+    map_cfg = HM.HashMapConfig(voxel_size=0.1, latent_dim=29,
+                               capacity=1 << 12, table_size=1 << 14,
+                               prune_min_vox_obs=4, ignore_count_th=1.0,
+                               encoder_count_th=600.0)
+    frames = _frames(5)
+    ref, chunked = _run_pair(prior, frames, map_cfg=map_cfg)
+    for pr, pc in zip(ref.tracker.all_pd_pose, chunked.tracker.all_pd_pose):
+        np.testing.assert_allclose(pc.matrix, pr.matrix, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.state.latents),
+                               np.asarray(ref.state.latents), atol=1e-5)
