@@ -256,19 +256,21 @@ def _finish_window_stats(sums, valid, px, py, pz, nb_points, min_nb):
 
 def pack_frame(rgb: np.ndarray, depth: np.ndarray,
                dcam_scale: float = 5000.0) -> np.ndarray:
-    """Pack a frame into ONE minimal 1-D uint8 buffer: uint16 intensity
-    (channel sum -- exact, since mean(rgb)/255 == sum(rgb)/765) followed by
-    uint16 depth in sensor units (native uint16 passes through; float metric
-    depth is quantized by ``dcam_scale``, i.e. re-quantized to what the
-    sensor delivered in the first place).  On tunneled/remote device
-    transports every transfer pays a round trip and bandwidth is shared with
-    dispatch RPCs, so the pipeline ships one small buffer per frame and
-    splits it in-jit (:func:`preprocess_frame_packed`)."""
+    """Pack a frame into ONE minimal 1-D uint8 buffer: uint8 mean intensity
+    (the sensor's own 8-bit quantization; the GN photometric term compares
+    prev/cur intensities on the same grid, and the <=0.2% rounding is far
+    below the sensor noise the term is robust to) followed by uint16 depth
+    in sensor units (native uint16 passes through; float metric depth is
+    quantized by ``dcam_scale``, i.e. re-quantized to what the sensor
+    delivered in the first place).  On tunneled/remote device transports
+    every transfer pays a round trip and bandwidth is shared with dispatch
+    RPCs, so the pipeline ships one small buffer per frame (0.9 MB at
+    640x480) and splits it in-jit (:func:`preprocess_frame_packed`)."""
     if rgb.dtype == np.uint8 and rgb.ndim == 3:
-        intensity = rgb.sum(axis=-1, dtype=np.uint16)           # 0..765
-    else:   # float rgb in [0,1]: scale to the same 0..765 grid
-        intensity = np.clip(np.asarray(rgb, np.float32).sum(axis=-1) * 255.0
-                            + 0.5, 0, 765).astype(np.uint16)
+        intensity = ((rgb.sum(axis=-1, dtype=np.uint16) + 1) // 3).astype(np.uint8)
+    else:   # float rgb in [0,1]: scale to the same 0..255 grid
+        intensity = np.clip(np.asarray(rgb, np.float32).mean(axis=-1) * 255.0
+                            + 0.5, 0, 255).astype(np.uint8)
     if depth.dtype == np.uint16:
         dq = depth
     else:
@@ -283,12 +285,11 @@ def preprocess_frame_packed(tcfg: TrackerConfig, calib: Intrinsic,
                             packed: jnp.ndarray, h: int, w: int
                             ) -> ProcessedFrame:
     """:func:`preprocess_frame` over a :func:`pack_frame` buffer."""
-    n_i = h * w * 2
-    inten16 = jax.lax.bitcast_convert_type(
-        packed[:n_i].reshape(h, w, 2), jnp.uint16)
+    n_i = h * w
+    inten8 = packed[:n_i].reshape(h, w)
     d16 = jax.lax.bitcast_convert_type(
         packed[n_i:].reshape(h, w, 2), jnp.uint16)
-    intensity = inten16.astype(jnp.float32) * (1.0 / 765.0)
+    intensity = inten8.astype(jnp.float32) * (1.0 / 255.0)
     depth = d16.astype(jnp.float32) * (1.0 / calib.dcam_scale)
     return _preprocess_core(tcfg, calib, intensity, depth)
 
