@@ -307,15 +307,6 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
     u0c = jnp.clip(u0, 0, w - 1)
     v0c = jnp.clip(v0, 0, h - 1)
 
-    d0 = prev_depth[v0c, u0c]
-    if prev_depth_ok is None:
-        # caller zeroed invalid depths (preprocess does) -> d0 > 0 covers
-        # validity and one gather per pixel disappears
-        d0_ok = True
-    else:
-        d0_ok = prev_depth_ok[v0c, u0c]
-    ok = ok & inside & d0_ok & (jnp.abs(wz - d0) <= max_depth_delta) & (d0 > 0.0)
-
     if bilinear:
         u0a = jnp.clip(u0f, 0.0, w - 1.0)
         v0a = jnp.clip(v0f, 0.0, h - 1.0)
@@ -325,20 +316,41 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
         av = v0a - vf
         ui = uf.astype(jnp.int32)
         vi = vf.astype(jnp.int32)
-        # the 4 taps ride ONE gather of a packed quad texture (profiled: the
-        # warp's random gathers are ~70% of an L0 GN iteration on TPU; 4
-        # scalar gathers -> 1 vector gather).  Rolls wrap at the border, but
-        # a wrapped tap always carries interpolation weight exactly 0 (u0a
-        # is clipped to w-1, so au = 0 whenever ui+1 would wrap; same for v).
-        right = jnp.roll(prev_intensity, -1, axis=1)
-        down = jnp.roll(prev_intensity, -1, axis=0)
-        quad = jnp.stack([prev_intensity, right, down,
-                          jnp.roll(down, -1, axis=1)], axis=-1)   # (H, W, 4)
-        taps = quad[vi, ui]                                       # (hc, wc, 4)
+        # intensity's 4 bilinear taps AND depth's 4 neighbors ride ONE gather
+        # of a packed 8-channel texture (profiled: the warp's random gathers
+        # are the bulk of an L0 GN iteration on TPU; 2 gathers -> 1).  The
+        # nearest-pixel depth (reference round(), photometric.cu:53-55) is
+        # recovered by selecting the tap on the au/av >= 0.5 side.  Rolls
+        # wrap at the border, but a wrapped tap always carries interpolation
+        # weight exactly 0 (u0a is clipped to w-1, so au = 0 whenever ui+1
+        # would wrap; same for v), and the wrapped depth tap is never the
+        # nearest for the same reason.
+        i_r = jnp.roll(prev_intensity, -1, axis=1)
+        i_d = jnp.roll(prev_intensity, -1, axis=0)
+        d_r = jnp.roll(prev_depth, -1, axis=1)
+        d_d = jnp.roll(prev_depth, -1, axis=0)
+        tex = jnp.stack([prev_intensity, i_r, i_d, jnp.roll(i_d, -1, axis=1),
+                         prev_depth, d_r, d_d, jnp.roll(d_d, -1, axis=1)],
+                        axis=-1)                                  # (H, W, 8)
+        taps = tex[vi, ui]                                        # (hc, wc, 8)
         prev_val = ((1 - av) * ((1 - au) * taps[..., 0] + au * taps[..., 1])
                     + av * ((1 - au) * taps[..., 2] + au * taps[..., 3]))
+        su = au >= 0.5
+        sv = av >= 0.5
+        d0 = jnp.where(sv, jnp.where(su, taps[..., 7], taps[..., 6]),
+                       jnp.where(su, taps[..., 5], taps[..., 4]))
     else:
-        prev_val = prev_intensity[v0c, u0c]
+        tex = jnp.stack([prev_intensity, prev_depth], axis=-1)
+        tap = tex[v0c, u0c]
+        prev_val = tap[..., 0]
+        d0 = tap[..., 1]
+    if prev_depth_ok is None:
+        # caller zeroed invalid depths (preprocess does) -> d0 > 0 covers
+        # validity and one gather per pixel disappears
+        d0_ok = True
+    else:
+        d0_ok = prev_depth_ok[v0c, u0c]
+    ok = ok & inside & d0_ok & (jnp.abs(wz - d0) <= max_depth_delta) & (d0 > 0.0)
     f = cur_intensity - prev_val
     f = jnp.where(ok, f, 0.0)
 

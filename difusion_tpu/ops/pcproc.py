@@ -196,13 +196,17 @@ def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
     seg_start = seg_start.at[0].set(True)
     seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1             # (N,)
 
-    p_s = points[order]
-    n_s = normals[order]
-    sums_p = jax.ops.segment_sum(p_s * v_s[:, None], seg_id, num_segments=n)
-    sums_n = jax.ops.segment_sum(n_s * v_s[:, None], seg_id, num_segments=n)
-    cnts = jax.ops.segment_sum(v_s, seg_id, num_segments=n)
-    mean_p = sums_p / jnp.maximum(cnts, 1.0)[:, None]
-    mean_n = sums_n / jnp.maximum(cnts, 1.0)[:, None]
+    # points, normals and the validity weight ride ONE (N, 7) gather and ONE
+    # segment_sum (random gathers/scatters are addressing-bound on TPU, so
+    # fusing the payload nearly triples their throughput)
+    payload = jnp.concatenate(
+        [points, normals, jnp.ones((n, 1), points.dtype)], axis=1)  # (N, 7)
+    pay_s = payload[order] * v_s[:, None]
+    sums = jax.ops.segment_sum(pay_s, seg_id, num_segments=n)
+    cnts = sums[:, 6]
+    inv = 1.0 / jnp.maximum(cnts, 1.0)
+    mean_p = sums[:, 0:3] * inv[:, None]
+    mean_n = sums[:, 3:6] * inv[:, None]
     ok = cnts > 0
     return mean_p[:out_budget], mean_n[:out_budget], ok[:out_budget]
 
