@@ -24,7 +24,7 @@ import os
 import time
 
 CHUNK = 12
-PASSES = 6
+PASSES = 8
 
 
 def main():
@@ -90,7 +90,7 @@ def main():
     bench_chunks = [np.stack(packed_np[1 + CHUNK + i:1 + CHUNK + i + CHUNK])
                     for i in range(0, n_bench, CHUNK)]
 
-    q = queue.Queue(maxsize=2)
+    q = queue.Queue(maxsize=4)
 
     def feeder():
         for _ in range(PASSES):
@@ -124,6 +124,7 @@ def main():
     print(json.dumps({"metric": "synthetic_icl_track_fuse_fps",
                       "value": round(mean_fps, 2), "unit": "frames/sec",
                       "vs_baseline": round(mean_fps / 30.0, 3),
+                      "median": round(float(np.median(fps)), 2),
                       "best": round(best_fps, 2), "passes": len(fps)}))
 
 

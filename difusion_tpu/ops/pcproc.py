@@ -175,11 +175,14 @@ def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
         inb = valid & jnp.all((ix >= 0) & (ix < jnp.asarray(dims, jnp.int32)),
                               axis=1)
         key = (ix[:, 0] * dims[1] + ix[:, 1]) * dims[2] + ix[:, 2]
-        key = jnp.where(inb, key, jnp.int32(2 ** 31 - 1))   # invalid sorts last
-        order = jnp.argsort(key)
-        key_s = key[order]
+        sentinel = jnp.int32(2 ** 31 - 1)
+        key = jnp.where(inb, key, sentinel)                 # invalid sorts last
+        # one sort yields BOTH the sorted keys and the permutation; validity
+        # falls out of the sentinel compare -- no post-sort key/pred gathers
+        key_s, order = jax.lax.sort(
+            (key, jax.lax.iota(jnp.int32, n)), num_keys=1)
         same = key_s == jnp.roll(key_s, 1)
-        v_s = inb[order].astype(points.dtype)
+        v_s = (key_s != sentinel).astype(points.dtype)
     else:
         # order-preserving key: pack 3x ~20-bit offsets (bounded scenes) into
         # i64 is unavailable (no x64) -- use a collision-checked sort on the

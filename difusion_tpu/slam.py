@@ -352,29 +352,46 @@ class SLAMSystem:
 
     def run_sequence(self, sequence: RGBDSequence,
                      max_frames: int = -1,
-                     prefetch: int = 3) -> Dict[str, Any]:
+                     prefetch: int = 3,
+                     chunk: int = 0) -> Dict[str, Any]:
         """Run the full sequence with a background load+upload pipeline: a
-        side thread decodes/renders frames, packs them into one buffer each
-        and issues the host->device transfer, overlapping IO and transfer
-        latency with the device compute of previous frames."""
+        side thread decodes/renders frames, packs them and issues the
+        host->device transfers, overlapping IO and transfer latency with the
+        device compute of previous frames.
+
+        ``chunk > 1`` batches that many frames into one
+        :func:`track_fuse_scan` dispatch (same semantics, see
+        :meth:`process_chunk`; requires ``latent_optimize`` off).  On remote
+        transports this amortizes the per-dispatch RPC; poses are identical
+        to the per-frame path (tests/test_scan.py)."""
         import queue
         import threading
 
         n = len(sequence) if max_frames < 0 else min(max_frames, len(sequence))
         self.first_iso = self.first_iso or sequence.first_iso
         start = self.tracker.n_tracked   # this call's slice of the history
+        use_chunk = chunk if (chunk > 1 and not self.latent_optimize) else 0
 
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 
         def feeder():
             try:
                 dcam = self.tracker.calib.dcam_scale
+                batch: list = []
                 for i, frame in enumerate(sequence):
                     if i >= n:
                         break
-                    packed = jnp.asarray(tracker_mod.pack_frame(
-                        frame.rgb, frame.depth, dcam))
-                    q.put((frame, packed))
+                    h, w = frame.depth.shape
+                    pk = tracker_mod.pack_frame(frame.rgb, frame.depth, dcam)
+                    if not use_chunk or (i == 0 and self.tracker.n_tracked == 0):
+                        q.put(("frame", frame, jnp.asarray(pk), h, w))
+                    else:
+                        batch.append(pk)
+                        if len(batch) == use_chunk:
+                            q.put(("chunk", None, jnp.asarray(np.stack(batch)), h, w))
+                            batch = []
+                if batch:
+                    q.put(("chunk", None, jnp.asarray(np.stack(batch)), h, w))
             except Exception as e:          # surface loader errors downstream
                 q.put(e)
             q.put(None)
@@ -387,12 +404,15 @@ class SLAMSystem:
                 break
             if isinstance(item, Exception):
                 raise item
-            frame, packed = item
-            pose = self.process_frame(frame, packed=packed)
-            if i % 25 == 0:
-                logging.info("frame %d/%d  t=%s", i, n,
-                             np.round(np.asarray(pose.t), 3))
-            i += 1
+            kind, frame, packed, h, w = item
+            if kind == "chunk":
+                self.process_chunk(packed, h, w)
+                i += int(packed.shape[0])
+            else:
+                self.process_frame(frame, packed=packed)
+                i += 1
+            if i % 25 < (use_chunk or 1):
+                logging.info("frame %d/%d", i, n)
         self.finish_meshing()
         trajectory = self.tracker.all_pd_pose[start:]
         result: Dict[str, Any] = {
@@ -433,6 +453,10 @@ def main(argv=None):
                         help="per-stage device-synced timings")
     parser.add_argument("--xprof", type=str, default="",
                         help="capture a jax profiler trace into this dir")
+    parser.add_argument("--chunk", type=int, default=0,
+                        help="batch N frames per dispatch (lax.scan; same "
+                             "poses as per-frame, amortizes RPC overhead on "
+                             "remote transports)")
     cli = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -447,9 +471,9 @@ def main(argv=None):
     if cli.xprof:
         import jax.profiler
         with jax.profiler.trace(cli.xprof):
-            result = system.run_sequence(seq, cli.max_frames)
+            result = system.run_sequence(seq, cli.max_frames, chunk=cli.chunk)
     else:
-        result = system.run_sequence(seq, cli.max_frames)
+        result = system.run_sequence(seq, cli.max_frames, chunk=cli.chunk)
 
     out = Path(cli.output)
     out.mkdir(parents=True, exist_ok=True)
