@@ -441,6 +441,107 @@ class SLAMSystem:
     def save_map(self, path: str):
         self._map_mod.save_map(path, self.map_cfg, self.state)
 
+    # -- interactive driver --------------------------------------------------
+
+    def run_interactive(self, sequence: RGBDSequence,
+                        max_frames: int = -1,
+                        out_dir: Optional[str] = None) -> Dict[str, Any]:
+        """Terminal step-through, the reference GUI's key-callback loop
+        (reference main.py:136-148: ',' steps one frame, '.' free-runs)
+        without the Open3D window:
+
+        =========  =========================================================
+        Enter / s  step one frame
+        r [N]      run to the end (or N more frames)
+        m          extract + report the mesh now
+        v          render the current mesh + trajectory to view_<i>.png
+        i          info: frame counter, pose, voxel count, GN energy
+        q          stop (artifacts are still written by the caller)
+        =========  =========================================================
+        """
+        n = len(sequence) if max_frames < 0 else min(max_frames, len(sequence))
+        self.first_iso = self.first_iso or sequence.first_iso
+        it = iter(sequence)
+        i = 0
+        free_run = 0
+        print(self.run_interactive.__doc__.split('\n', 1)[1])
+        while i < n:
+            if free_run <= 0:
+                try:
+                    cmd = input(f"[frame {i}/{n}] > ").strip().split()
+                except EOFError:
+                    cmd = ["r"]
+                op = cmd[0] if cmd else "s"
+                if op == "q":
+                    break
+                if op == "r":
+                    free_run = int(cmd[1]) if len(cmd) > 1 else n - i
+                    continue
+                if op == "m":
+                    if self.mesher is None:
+                        print("meshing disabled (--no-mesh)")
+                    else:
+                        self.state = self.mesher.extract(
+                            self.state, max_std=self.mesh_max_std)
+                        tris, _ = self.mesher.triangles()
+                        print(f"mesh: {len(tris)} triangles, "
+                              f"{int(self.state.n_occupied)} voxels")
+                    continue
+                if op == "v":
+                    self._interactive_view(out_dir or ".", i)
+                    continue
+                if op == "i":
+                    if self.tracker.last_pose is not None:
+                        t = np.asarray(self.tracker.last_pose.t)
+                        print(f"frame {i}: t={np.round(t, 4)}  "
+                              f"voxels={int(self.state.n_occupied)}")
+                    else:
+                        print("no frames tracked yet")
+                    continue
+                # fall through: "s" / empty = step
+            else:
+                free_run -= 1
+            frame = next(it)
+            self.process_frame(frame)
+            i += 1
+        self.finish_meshing()
+        trajectory = self.tracker.all_pd_pose
+        result: Dict[str, Any] = {"n_frames": i, "trajectory": trajectory,
+                                  "n_voxels": int(self.state.n_occupied)}
+        if sequence.gt_trajectory is not None and all(
+                g is not None for g in sequence.gt_trajectory[:i]):
+            result["ate_rmse"] = ate_rmse(sequence.gt_trajectory[:i], trajectory)
+        return result
+
+    def _interactive_view(self, out_dir: str, i: int) -> None:
+        """Render mesh + trajectory via tools/view.py's renderer."""
+        if self.mesher is None:
+            print("meshing disabled (--no-mesh)")
+            return
+        import sys
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        try:
+            import view as view_mod
+        except ImportError:
+            print("tools/view.py not importable")
+            return
+        finally:
+            sys.path.pop(0)
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        png = str(Path(out_dir) / f"view_{i:04d}.png")
+        verts, faces = self.mesher.vertices_faces()
+        stds = self.mesher.triangles()[1].reshape(-1)
+        if len(stds):
+            t = np.clip((stds - stds.min())
+                        / max(stds.max() - stds.min(), 1e-12), 0.0, 1.0)
+            import matplotlib.cm as cm
+            colors = (cm.jet(t)[:, :3] * 255).astype(np.uint8)
+        else:
+            colors = None
+        traj = np.array([p.t for p in self.tracker.all_pd_pose]) \
+            if self.tracker.n_tracked else None
+        view_mod.view_matplotlib(verts, colors, faces, traj, None, save=png)
+
 
 def main(argv=None):
     import argparse
@@ -457,6 +558,10 @@ def main(argv=None):
                         help="batch N frames per dispatch (lax.scan; same "
                              "poses as per-frame, amortizes RPC overhead on "
                              "remote transports)")
+    parser.add_argument("--interactive", action="store_true",
+                        help="terminal step-through (the reference GUI's "
+                             "','/'.'-key loop): Enter steps, r runs, m "
+                             "meshes, v renders a view, q quits")
     cli = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -468,7 +573,10 @@ def main(argv=None):
     system = SLAMSystem.from_config(args, calib, seq.first_iso,
                                     meshing=not cli.no_mesh)
     system.profile = cli.profile
-    if cli.xprof:
+    if cli.interactive:
+        result = system.run_interactive(seq, cli.max_frames,
+                                        out_dir=cli.output)
+    elif cli.xprof:
         import jax.profiler
         with jax.profiler.trace(cli.xprof):
             result = system.run_sequence(seq, cli.max_frames, chunk=cli.chunk)

@@ -283,9 +283,18 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
 
     # structured metrics stream (the reference logs scalars to tensorboardX,
     # network_trainer.py:18-33; here one JSONL row per log interval, plotted
-    # by tools/plot_training.py)
+    # by tools/plot_training.py) -- plus a real tensorboard writer when the
+    # package is importable (torch ships one), mirroring the reference's
+    # per-interval scalars + LR (gate with `tensorboard: false` in the hyper)
     save_dir.mkdir(parents=True, exist_ok=True)
     metrics_f = open(save_dir / "metrics.jsonl", "a")
+    tb = None
+    if hyper.get("tensorboard", True):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(log_dir=str(save_dir / "tb"))
+        except Exception:
+            tb = None
 
     rng = np.random.default_rng(0)
     key = jax.random.key(1)
@@ -318,6 +327,11 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
                     {"epoch": epoch, "it": it, "lr_dec": float(lr_dec),
                      "lr_enc": float(lr_enc), "t": time.time(), **vals}) + "\n")
                 metrics_f.flush()
+                if tb is not None:
+                    for k, v in vals.items():
+                        tb.add_scalar(f"train/{k}", v, it)
+                    tb.add_scalar("lr/decoder", float(lr_dec), it)
+                    tb.add_scalar("lr/encoder", float(lr_enc), it)
             if 0 < max_steps <= it:
                 break
         dt = time.perf_counter() - t_epoch
@@ -329,6 +343,8 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
         if 0 < max_steps <= it:
             break
     metrics_f.close()
+    if tb is not None:
+        tb.close()
     return state
 
 
