@@ -111,6 +111,23 @@ def test_scan_constant_velocity_prior(prior):
         np.testing.assert_allclose(pc.matrix, pr.matrix, atol=1e-5)
 
 
+def test_run_sequence_chunked_matches_per_frame(prior):
+    """run_sequence(chunk=3) (feeder batches + ragged tail) == per-frame."""
+    def make_seq():
+        return SyntheticSequence(n_frames=8, h=120, w=160, calib=CALIB,
+                                 corrugation=0.1, motion_scale=0.6)
+
+    ref = _system(prior)
+    r_ref = ref.run_sequence(make_seq())
+    chunked = _system(prior)
+    r_chk = chunked.run_sequence(make_seq(), chunk=3)   # 1 + 3 + 3 + 1 tail
+
+    assert r_chk["n_frames"] == r_ref["n_frames"] == 8
+    for pr, pc in zip(r_ref["trajectory"], r_chk["trajectory"]):
+        np.testing.assert_allclose(pc.matrix, pr.matrix, atol=1e-5)
+    np.testing.assert_allclose(r_chk["ate_rmse"], r_ref["ate_rmse"], atol=1e-5)
+
+
 def test_scan_hash_backend(prior):
     dec, enc, spec = prior
     map_cfg = HM.HashMapConfig(voxel_size=0.1, latent_dim=29,
