@@ -407,11 +407,25 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
     return H, g, energy
 
 
+def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
+    """Strided current-frame inputs for one pyramid level, computed ONCE per
+    frame.  Strided slices lower to per-row gathers on TPU and XLA does not
+    hoist them out of the GN ``while_loop`` (profiled: ~2 ms/frame of
+    re-sliced loop-invariant data) -- so the caller precomputes them outside
+    the iteration loops and threads them in."""
+    st = tcfg.rgb_stride
+    return jax.lax.optimization_barrier(
+        (cur.intensity[level][::st, ::st], cur.depth[level][::st, ::st],
+         cur.depth_ok[level][::st, ::st],
+         cur.grad[level][::st, ::st], cur.grad_ok[level][::st, ::st]))
+
+
 def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
-              prev: Pyramid, cur: Pyramid, delta: Pose,
+              prev: Pyramid, cur_level, delta: Pose,
               rgb_weight: jnp.ndarray):
     """Photometric residual over pyramid level ``level`` (reference
-    compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level."""
+    compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level.
+    ``cur_level`` comes from :func:`_rgb_level_inputs`."""
     s = 0.5 ** level
     fx, fy = calib.fx * s, calib.fy * s
     cx, cy = (calib.cx + 0.5) * s - 0.5, (calib.cy + 0.5) * s - 0.5
@@ -424,11 +438,10 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     intr = jnp.array([fx, fy, cx, cy])
 
     st = tcfg.rgb_stride
+    c_int, c_depth, c_ok, c_grad, c_gok = cur_level
     f, J, ok = imgproc.rgb_odometry(
         prev.intensity[level], prev.depth[level], None,
-        cur.intensity[level][::st, ::st], cur.depth[level][::st, ::st],
-        cur.depth_ok[level][::st, ::st],
-        cur.grad[level][::st, ::st], cur.grad_ok[level][::st, ::st],
+        c_int, c_depth, c_ok, c_grad, c_gok,
         intr, krkinv, kt,
         tcfg.min_grad_scale, tcfg.max_depth_delta, coord_stride=st)
 
@@ -484,6 +497,14 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     in-jit so a tracked frame costs zero host round-trips."""
     last = Pose(last_R, last_t)
 
+    # strided current-frame inputs per rgb level, ONCE per frame (outside
+    # the iteration while_loops -- see _rgb_level_inputs)
+    rgb_levels = {int(term[1])
+                  for _, terms in tcfg.iter_config
+                  for term in terms if term[0] == "rgb"}
+    cur_levels = {lvl: _rgb_level_inputs(tcfg, cur.pyramid, lvl)
+                  for lvl in sorted(rgb_levels)}
+
     def eval_Hg(delta: Pose, terms):
         H = jnp.zeros((6, 6), jnp.float32)
         g = jnp.zeros(6, jnp.float32)
@@ -496,7 +517,8 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                                        compute_dtype=jnp.dtype(tcfg.sdf_compute_dtype))
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
-                                       cur.pyramid, delta, rgb_weight)
+                                       cur_levels[int(term[1])], delta,
+                                       rgb_weight)
             else:
                 raise ValueError(f"unknown GN term {term!r}")
             H, g, E = H + tH, g + tg, E + tE

@@ -210,6 +210,10 @@ def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
     # fusing the payload nearly triples their throughput)
     payload = jnp.concatenate(
         [points, normals, jnp.ones((n, 1), points.dtype)], axis=1)  # (N, 7)
+    # materialize before indexing: without the barrier XLA splits the packed
+    # gather back into per-source-column gathers (profiled), re-paying the
+    # per-row addressing cost three times
+    payload = jax.lax.optimization_barrier(payload)
     pay_s = payload[order] * v_s[:, None]
     sums = jax.ops.segment_sum(pay_s, seg_id, num_segments=n)
     cnts = sums[:, 6]
