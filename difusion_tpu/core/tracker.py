@@ -324,8 +324,8 @@ def _preprocess_core(tcfg: TrackerConfig, calib: Intrinsic,
 
     # subsample (nearest, torch scale_factor semantics) + unproject
     stride = int(round(1.0 / tcfg.subsample))
-    d_sub = depth[::stride, ::stride]
-    ok_sub = depth_ok[::stride, ::stride]
+    d_sub = imgproc.subsample2d(depth, stride)
+    ok_sub = imgproc.subsample2d(depth_ok, stride)
     sc = tcfg.subsample
     pc_map = imgproc.unproject_depth(d_sub, ok_sub, calib.fx * sc, calib.fy * sc,
                                      calib.cx * sc, calib.cy * sc)
@@ -414,10 +414,11 @@ def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
     re-sliced loop-invariant data) -- so the caller precomputes them outside
     the iteration loops and threads them in."""
     st = tcfg.rgb_stride
+    sub = partial(imgproc.subsample2d, s=st)
     return jax.lax.optimization_barrier(
-        (cur.intensity[level][::st, ::st], cur.depth[level][::st, ::st],
-         cur.depth_ok[level][::st, ::st],
-         cur.grad[level][::st, ::st], cur.grad_ok[level][::st, ::st]))
+        (sub(cur.intensity[level]), sub(cur.depth[level]),
+         sub(cur.depth_ok[level]),
+         sub(cur.grad[level]), sub(cur.grad_ok[level])))
 
 
 def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,

@@ -382,9 +382,27 @@ def half_bilinear(img: jnp.ndarray) -> jnp.ndarray:
     return img[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
 
 
+def subsample2d(img: jnp.ndarray, s: int) -> jnp.ndarray:
+    """``img[::s, ::s]`` (torch nearest-downsample semantics, src =
+    floor(s*dst)) over the leading two dims, expressed as a 1x1-window
+    stride-s ``reduce_window``: a strided slice lowers to a per-row gather
+    on TPU (~1.1 ms on 480x640 f32), the pooling primitive to a strided
+    copy (~0.4 ms measured)."""
+    if s == 1:
+        return img
+    window = (1, 1) + (1,) * (img.ndim - 2)
+    strides = (s, s) + (1,) * (img.ndim - 2)
+    if img.dtype == jnp.bool_:
+        return jax.lax.reduce_window(img, False, jax.lax.bitwise_or,
+                                     window, strides, "VALID")
+    return jax.lax.reduce_window(img, -jnp.inf if jnp.issubdtype(img.dtype, jnp.floating)
+                                 else jnp.iinfo(img.dtype).min,
+                                 jax.lax.max, window, strides, "VALID")
+
+
 def half_nearest(img: jnp.ndarray) -> jnp.ndarray:
     """Factor-2 nearest downsample, torch semantics: src = floor(2*dst)."""
-    return img[::2, ::2]
+    return subsample2d(img, 2)
 
 
 def masked_half_bilinear(img: jnp.ndarray, ok: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
