@@ -174,6 +174,8 @@ class SLAMSystem:
         self.depth_cut = depth_cut
         self.mesh_max_std = mesh_max_std
         self.first_iso: Optional[Isometry] = None
+        # mapping-only: every frame takes its GT pose (no GN tracking)
+        self.use_gt_poses = False
         # latent optimization of converged voxels (reference map.py step 3 +
         # OptimizeProcess; default off like the reference main path,
         # main.py:86).  "sync" commits immediately; "interleaved" merges the
@@ -245,7 +247,12 @@ class SLAMSystem:
         for this frame (from the upload pipeline); avoids re-uploading."""
         t0 = time.perf_counter()
         set_pose = None
-        if self.tracker.n_tracked == 0:
+        if self.use_gt_poses:
+            # mapping-only mode (BASELINE eval config 2): fuse under the
+            # sequence's ground-truth trajectory, no tracking
+            assert frame.gt_pose is not None, "use_gt_poses needs load_gt"
+            set_pose = frame.gt_pose
+        elif self.tracker.n_tracked == 0:
             set_pose = self.first_iso if self.first_iso is not None else (
                 frame.gt_pose if frame.gt_pose is not None else Isometry())
         h, w = frame.depth.shape
@@ -370,7 +377,8 @@ class SLAMSystem:
         n = len(sequence) if max_frames < 0 else min(max_frames, len(sequence))
         self.first_iso = self.first_iso or sequence.first_iso
         start = self.tracker.n_tracked   # this call's slice of the history
-        use_chunk = chunk if (chunk > 1 and not self.latent_optimize) else 0
+        use_chunk = chunk if (chunk > 1 and not self.latent_optimize
+                              and not self.use_gt_poses) else 0
 
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 
@@ -562,6 +570,9 @@ def main(argv=None):
                         help="terminal step-through (the reference GUI's "
                              "','/'.'-key loop): Enter steps, r runs, m "
                              "meshes, v renders a view, q quits")
+    parser.add_argument("--gt-poses", action="store_true",
+                        help="mapping-only: fuse under the ground-truth "
+                             "trajectory, no tracking (BASELINE config 2)")
     cli = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -573,6 +584,7 @@ def main(argv=None):
     system = SLAMSystem.from_config(args, calib, seq.first_iso,
                                     meshing=not cli.no_mesh)
     system.profile = cli.profile
+    system.use_gt_poses = cli.gt_poses
     if cli.interactive:
         result = system.run_interactive(seq, cli.max_frames,
                                         out_dir=cli.output)

@@ -128,6 +128,20 @@ def test_run_sequence_chunked_matches_per_frame(prior):
     np.testing.assert_allclose(r_chk["ate_rmse"], r_ref["ate_rmse"], atol=1e-5)
 
 
+def test_gt_pose_mapping_only(prior):
+    """use_gt_poses (BASELINE eval config 2): fusion under the GT trajectory,
+    no tracking -- trajectory equals GT exactly, map still fills."""
+    frames = _frames(6)
+    sysm = _system(prior)
+    sysm.use_gt_poses = True
+    for f in frames:
+        sysm.process_frame(f)
+    assert sysm.tracker.n_tracked == 6
+    for p, f in zip(sysm.tracker.all_pd_pose, frames):
+        np.testing.assert_allclose(p.matrix, f.gt_pose.matrix, atol=1e-6)
+    assert int(sysm.state.n_occupied) > 50
+
+
 def test_scan_hash_backend(prior):
     dec, enc, spec = prior
     map_cfg = HM.HashMapConfig(voxel_size=0.1, latent_dim=29,
