@@ -62,7 +62,8 @@ class HashMapState(NamedTuple):
     optimized: jnp.ndarray   # (capacity,) bool
     mesh_dirty: jnp.ndarray  # (capacity,) bool
     n_occupied: jnp.ndarray  # () int32
-    overflow: jnp.ndarray    # () int32
+    overflow: jnp.ndarray    # () int32: inserts dropped (probe or capacity)
+    opt_overflow: jnp.ndarray  # () int32: latent-optimizer table truncation
 
 
 def create_hash_map_state(cfg: HashMapConfig) -> HashMapState:
@@ -76,6 +77,7 @@ def create_hash_map_state(cfg: HashMapConfig) -> HashMapState:
         mesh_dirty=jnp.zeros((cfg.capacity,), bool),
         n_occupied=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
+        opt_overflow=jnp.zeros((), jnp.int32),
     )
 
 
@@ -325,6 +327,9 @@ def load_map(path: str) -> Tuple[HashMapConfig, HashMapState]:
                                ("voxel_size", "ignore_count_th", "encoder_count_th")
                                else int(data[f"cfg.{k}"]))
                            for k in HashMapConfig._fields})
-    state = HashMapState(**{k: jnp.asarray(data[f"state.{k}"])
+    # counters added in later versions default to 0 for older saves
+    state = HashMapState(**{k: (jnp.asarray(data[f"state.{k}"])
+                                if f"state.{k}" in data
+                                else jnp.zeros((), jnp.int32))
                             for k in HashMapState._fields})
     return cfg, state

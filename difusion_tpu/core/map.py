@@ -82,6 +82,9 @@ class MapState(NamedTuple):
     mesh_dirty: jnp.ndarray  # (capacity,) bool: touched since last meshing
     n_occupied: jnp.ndarray  # () int32
     overflow: jnp.ndarray    # () int32: allocations dropped due to capacity
+    opt_overflow: jnp.ndarray  # () int32: touched slots beyond the latent
+    #                              optimizer's working-table budget (those
+    #                              slots kept fused values for that round)
 
 
 def create_map_state(cfg: MapConfig) -> MapState:
@@ -94,6 +97,7 @@ def create_map_state(cfg: MapConfig) -> MapState:
         mesh_dirty=jnp.zeros((cfg.capacity,), bool),
         n_occupied=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
+        opt_overflow=jnp.zeros((), jnp.int32),
     )
 
 
@@ -229,7 +233,8 @@ def integrate_keyframe(cfg: MapConfig, enc_params: Dict[str, Any], state: MapSta
 
     return MapState(indexer=indexer, latents=latents, positions=positions,
                     obs_count=new_count, optimized=state.optimized,
-                    mesh_dirty=mesh_dirty, n_occupied=n_occupied, overflow=overflow)
+                    mesh_dirty=mesh_dirty, n_occupied=n_occupied,
+                    overflow=overflow, opt_overflow=state.opt_overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +319,9 @@ def optimize_latents(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSp
     static (max_slots, L) working table (sort-based unique), Adam runs over
     that table in a jitted ``fori_loop``, and the result scatters back --
     O(max_slots) optimizer state per call instead of O(capacity).  Touched
-    slots beyond ``max_slots`` keep their fused values for this round."""
+    slots beyond ``max_slots`` keep their fused values for this round, and
+    their count accumulates into ``state.opt_overflow`` so the truncation is
+    observable (surfaced by ``SLAMSystem.run_sequence``)."""
     import optax
 
     from ..ops.segment import padded_unique_inverse
@@ -363,9 +370,11 @@ def optimize_latents(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSp
         jnp.where(row_live[:, None], table[:-1], 0.0), mode="drop")
     touched = jnp.zeros(cfg.capacity, bool).at[scatter_slot].set(
         True, mode="drop")
+    n_over = jnp.maximum(uq.count - max_slots, 0).astype(jnp.int32)
     return state._replace(latents=latents,
                           optimized=state.optimized | touched,
-                          mesh_dirty=state.mesh_dirty | touched)
+                          mesh_dirty=state.mesh_dirty | touched,
+                          opt_overflow=state.opt_overflow + n_over)
 
 
 @jax.jit
@@ -419,5 +428,9 @@ def load_map(path: str) -> Tuple[MapConfig, MapState]:
         ignore_count_th=float(data["cfg.ignore_count_th"]),
         encoder_count_th=float(data["cfg.encoder_count_th"]),
     )
-    state = MapState(**{name: jnp.asarray(data[f"state.{name}"]) for name in MapState._fields})
+    # counters added in later versions default to 0 for older saves
+    state = MapState(**{name: (jnp.asarray(data[f"state.{name}"])
+                               if f"state.{name}" in data
+                               else jnp.zeros((), jnp.int32))
+                        for name in MapState._fields})
     return cfg, state

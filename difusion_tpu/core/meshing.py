@@ -344,6 +344,8 @@ class HashMeshExtractor(_MeshExtractorBase):
         slot_cell = np.asarray(state.slot_cell)
         obs_count = np.asarray(state.obs_count)
         n_occ = int(state.n_occupied)
+        if n_occ == 0:
+            return np.zeros((0, 3), np.int64), np.zeros(0, np.int64)
 
         # sort-merge join dilated-dirty cells against occupied cells (the
         # per-extract Python dict this replaces was the frame-time ceiling at
@@ -355,7 +357,7 @@ class HashMeshExtractor(_MeshExtractorBase):
         want = self._cell_keys(cells)
         pos = np.searchsorted(occ_sorted, want)
         pos_c = np.minimum(pos, len(occ_sorted) - 1)
-        hit = (len(occ_sorted) > 0) & (occ_sorted[pos_c] == want)
+        hit = occ_sorted[pos_c] == want
         slots = order[pos_c]
         keep = hit & (obs_count[slots] > self.cfg.ignore_count_th)
         if not keep.any():

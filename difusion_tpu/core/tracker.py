@@ -91,6 +91,10 @@ class TrackerConfig(NamedTuple):
     # identity lspeed placeholder, tracker.py:118-119); "constant_velocity"
     # seeds with the previous inter-frame delta
     motion_prior: str = "none"
+    # ship f32 frames to the device instead of the quantized uint8/uint16
+    # packing (8 bytes/pixel vs 3): bit-exact against the direct
+    # preprocess_frame API, for parity/debug runs
+    lossless_packing: bool = False
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -122,6 +126,8 @@ class TrackerConfig(NamedTuple):
             sdf_compute_dtype=str(getattr(args, "sdf_compute_dtype",
                                           d["sdf_compute_dtype"])),
             motion_prior=str(getattr(args, "motion_prior", d["motion_prior"])),
+            lossless_packing=bool(getattr(args, "lossless_packing",
+                                          d["lossless_packing"])),
         )
 
 
@@ -254,8 +260,8 @@ def _finish_window_stats(sums, valid, px, py, pz, nb_points, min_nb):
 
 
 
-def pack_frame(rgb: np.ndarray, depth: np.ndarray,
-               dcam_scale: float = 5000.0) -> np.ndarray:
+def pack_frame(rgb: np.ndarray, depth: np.ndarray, dcam_scale: float,
+               lossless: bool = False) -> np.ndarray:
     """Pack a frame into ONE minimal 1-D uint8 buffer: uint8 mean intensity
     (the sensor's own 8-bit quantization; the GN photometric term compares
     prev/cur intensities on the same grid, and the <=0.2% rounding is far
@@ -265,7 +271,29 @@ def pack_frame(rgb: np.ndarray, depth: np.ndarray,
     delivered in the first place).  On tunneled/remote device transports
     every transfer pays a round trip and bandwidth is shared with dispatch
     RPCs, so the pipeline ships one small buffer per frame (0.9 MB at
-    640x480) and splits it in-jit (:func:`preprocess_frame_packed`)."""
+    640x480) and splits it in-jit (:func:`preprocess_frame_packed`).
+
+    ``dcam_scale`` MUST equal the ``calib.dcam_scale`` of the unpacking
+    :func:`preprocess_frame_packed` call (the unpacker divides by it); there
+    is deliberately no default so the two cannot silently disagree.
+
+    ``lossless=True`` packs raw f32 RGB + f32 metric depth instead (16
+    bytes/pixel vs 3): the intensity mean is then computed by the SAME jit
+    code as the direct API, so the result is bit-exact against
+    :func:`preprocess_frame` on float inputs -- the parity/debug opt-out
+    for runs that must reproduce direct-API numerics.
+    """
+    if lossless:
+        if rgb.dtype == np.uint8 and rgb.ndim == 3:
+            rgb_f = np.asarray(rgb, np.float32) * np.float32(1.0 / 255.0)
+        else:
+            rgb_f = np.asarray(rgb, np.float32)
+        if depth.dtype == np.uint16:
+            d = depth.astype(np.float32) / np.float32(dcam_scale)
+        else:
+            d = np.asarray(depth, np.float32)
+        return np.concatenate([np.ascontiguousarray(rgb_f).view(np.uint8).ravel(),
+                               np.ascontiguousarray(d).view(np.uint8).ravel()])
     if rgb.dtype == np.uint8 and rgb.ndim == 3:
         intensity = ((rgb.sum(axis=-1, dtype=np.uint16) + 1) // 3).astype(np.uint8)
     else:   # float rgb in [0,1]: scale to the same 0..255 grid
@@ -284,8 +312,16 @@ def pack_frame(rgb: np.ndarray, depth: np.ndarray,
 def preprocess_frame_packed(tcfg: TrackerConfig, calib: Intrinsic,
                             packed: jnp.ndarray, h: int, w: int
                             ) -> ProcessedFrame:
-    """:func:`preprocess_frame` over a :func:`pack_frame` buffer."""
+    """:func:`preprocess_frame` over a :func:`pack_frame` buffer.  The
+    layout is recovered from the (static) buffer size: 3 bytes/pixel is the
+    quantized format, 16 bytes/pixel the lossless f32 format."""
     n_i = h * w
+    if packed.shape[0] == 16 * n_i:          # lossless f32 packing
+        rgb = jax.lax.bitcast_convert_type(
+            packed[:12 * n_i].reshape(h, w, 3, 4), jnp.float32)
+        depth = jax.lax.bitcast_convert_type(
+            packed[12 * n_i:].reshape(h, w, 4), jnp.float32)
+        return _preprocess_core(tcfg, calib, jnp.mean(rgb, axis=-1), depth)
     inten8 = packed[:n_i].reshape(h, w)
     d16 = jax.lax.bitcast_convert_type(
         packed[n_i:].reshape(h, w, 2), jnp.uint16)

@@ -86,9 +86,12 @@ def corner_field(indexer: jnp.ndarray, slot_to_batch: jnp.ndarray,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Blend block lattices into block-corner values.
 
-    Returns (corner_sdf, corner_std, corner_valid), each (B, r+1, r+1, r+1).
-    Internally everything is (B, (r+1)^3) with the big block axis kept clean
-    of trailing tiny dims.
+    Returns (corner_sdf, corner_std, corner_valid), each (B, r+1, r+1, r+1)
+    for B = len(valid_blocks).  ``cube_sdf``/``cube_std`` may hold MORE rows
+    than B (``slot_to_batch`` indexes into them): the chunked extract driver
+    emits triangles for a block subset while interpolating corners against
+    every evaluated neighbor.  Internally everything is (B, (r+1)^3) with
+    the big block axis kept clean of trailing tiny dims.
     """
     nx, ny, nz = n_xyz
     B = valid_blocks.shape[0]
@@ -97,8 +100,8 @@ def corner_field(indexer: jnp.ndarray, slot_to_batch: jnp.ndarray,
     block_ok = valid_blocks >= 0
     vb = jnp.maximum(valid_blocks, 0)
     bpos = jnp.stack([vb // (ny * nz), (vb // nz) % ny, vb % nz], axis=-1)  # (B, 3)
-    cube_sdf_f = cube_sdf.reshape(B, side ** 3)
-    cube_std_f = cube_std.reshape(B, side ** 3)
+    cube_sdf_f = cube_sdf.reshape(-1, side ** 3)
+    cube_std_f = cube_std.reshape(-1, side ** 3)
     cgrid = _corner_grid(r)                                                # (nc, 3)
 
     if not interpolate:

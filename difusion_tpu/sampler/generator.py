@@ -9,8 +9,9 @@ Differences from the reference, by design:
   there is no separate binary to shell out to); the per-mesh ``.cam`` /
   ``.raw`` / ``.surf`` temp-file dance disappears.
 * Mesh providers build primitives with :mod:`.mesh_io` instead of Open3D.
-* The sklearn chebyshev radius queries (main_generator.py:90-98) are kept --
-  the voxel split is host-side offline tooling.
+* The voxel split (:func:`split_into_lifs`) is host-side offline tooling:
+  cube range queries through scipy cKDTree with the L-inf metric (the
+  reference uses sklearn chebyshev radius_neighbors, main_generator.py:90-98).
 """
 from __future__ import annotations
 
@@ -117,6 +118,47 @@ class SimpleShapeGenerator:
         self._cache.pop(idx, None)
 
 
+def split_into_lifs(data_arr: np.ndarray, surface_arr: np.ndarray,
+                    voxel_size: float, nn_size: float = 2.0):
+    """Partition SDF/surface sample clouds into per-voxel LIF payloads.
+
+    Yields ``(vox_min, vox_max, data, surface)`` per accepted voxel.  The
+    acceptance rules and payload format are interchange requirements shared
+    with the reference generator (main_generator.py:85-135): a candidate
+    voxel (one containing at least one SDF sample) is kept when it has >= 50
+    strictly-inside samples and >= 50 nearby surface points, and its
+    positive-SDF fraction is informative (within [0.1, 0.9]); the payload
+    gathers everything within a chebyshev radius of ``nn_size/2`` voxels and
+    rescales coordinates and SDF to voxel-local units.  The cube range
+    queries run through one scipy cKDTree per cloud (L-inf metric).
+    """
+    from scipy.spatial import cKDTree
+
+    centers = np.unique(np.ceil(data_arr[:, :3] / voxel_size) - 1.0, axis=0)
+    centers = (centers + 0.5) * voxel_size
+    tree_data = cKDTree(data_arr[:, :3])
+    tree_surf = cKDTree(surface_arr[:, :3])
+    reach = voxel_size * nn_size / 2.0
+    gathered = tree_data.query_ball_point(centers, r=reach, p=np.inf)
+    inside = tree_data.query_ball_point(centers, r=0.5 * voxel_size, p=np.inf)
+    near_surf = tree_surf.query_ball_point(centers, r=reach, p=np.inf)
+
+    for center, g_idx, in_idx, s_idx in zip(centers, gathered, inside,
+                                            near_surf):
+        if len(in_idx) < 50 or len(s_idx) < 50:
+            continue
+        block = data_arr[np.asarray(g_idx, np.int64)].copy()
+        frac_pos = np.mean(block[:, 3] > 0)
+        if not (0.1 <= frac_pos <= 0.9):
+            continue
+        surf = surface_arr[np.asarray(s_idx, np.int64)].copy()
+        block[:, :3] = (block[:, :3] - center) / voxel_size
+        block[:, 3] /= voxel_size
+        surf[:, :3] = (surf[:, :3] - center) / voxel_size
+        half = 0.5 * voxel_size
+        yield center - half, center + half, block, surf
+
+
 def generate_samples(idx: int, args, provider, output_base: Path,
                      source_list: list, sampler_cfg: SamplerConfig,
                      rng: np.random.Generator) -> int:
@@ -124,8 +166,6 @@ def generate_samples(idx: int, args, provider, output_base: Path,
     main_generator.py:20-156): sample SDF data, split into per-voxel LIFs
     with count/ratio filters, normalize to voxel-local coords, write npz.
     Returns the number of LIFs written."""
-    from sklearn.neighbors import NearestNeighbors
-
     mesh_or_path, (half_window, cams), sampler_mult = provider[idx]
     mesh = (mesh_or_path if isinstance(mesh_or_path, mesh_io.TriMesh)
             else mesh_io.load_mesh(mesh_or_path))
@@ -138,47 +178,15 @@ def generate_samples(idx: int, args, provider, output_base: Path,
     data_arr = data_arr * np.array([sampler_mult] * 3 + [sampler_mult], np.float32)
     surface_arr[:, :3] *= sampler_mult
 
-    voxel_size = args.voxel_size
-    nn_size = getattr(args, "nn_size", 2.0)
-    data_xyz = data_arr[:, :3]
-    data_sdf = data_arr[:, 3]
-    surface_xyz = surface_arr[:, :3]
-
-    # voxel split (main_generator.py:90-135)
-    voxel_centers = np.unique(np.ceil(data_xyz / voxel_size) - 1, axis=0)
-    voxel_centers = (voxel_centers + 0.5) * voxel_size
-    nbrs = NearestNeighbors(radius=voxel_size * (nn_size / 2.0),
-                            metric="chebyshev").fit(data_xyz)
-    lif_indices = nbrs.radius_neighbors(voxel_centers, return_distance=False)
-    nbrs_local = NearestNeighbors(radius=voxel_size * 0.5,
-                                  metric="chebyshev").fit(data_xyz)
-    local_indices = nbrs_local.radius_neighbors(voxel_centers, return_distance=False)
-    nbrs_surface = NearestNeighbors(radius=voxel_size * (nn_size / 2.0),
-                                    metric="chebyshev").fit(surface_xyz)
-    surface_indices = nbrs_surface.radius_neighbors(voxel_centers, return_distance=False)
-
     payload_dir = output_base / "payload"
     n_written = 0
-    for vox_center, lif_index, local_index, surface_index in zip(
-            voxel_centers, lif_indices, local_indices, surface_indices):
-        if local_index.shape[0] < 50 or surface_index.shape[0] < 50:
-            continue
-        inner_sdf = data_sdf[lif_index]
-        pos_ratio = np.count_nonzero(inner_sdf > 0) / lif_index.shape[0]
-        if pos_ratio < 0.1 or pos_ratio > 0.9:
-            continue
-        vox_min = vox_center - 0.5 * voxel_size
-        vox_max = vox_center + 0.5 * voxel_size
-        out_data = data_arr[lif_index].copy()
-        out_surf = surface_arr[surface_index].copy()
-        out_data[:, :3] = (out_data[:, :3] - vox_center) / (vox_max - vox_min)
-        out_surf[:, :3] = (out_surf[:, :3] - vox_center) / (vox_max - vox_min)
-        out_data[:, 3] /= voxel_size
-
+    for vox_min, vox_max, block, surf in split_into_lifs(
+            data_arr, surface_arr, args.voxel_size,
+            getattr(args, "nn_size", 2.0)):
         lif_id = len(source_list)
         source_list.append([provider.get_source(idx), idx, n_written])
         np.savez(payload_dir / ("%08d.npz" % lif_id),
-                 min=vox_min, max=vox_max, data=out_data, surface=out_surf)
+                 min=vox_min, max=vox_max, data=block, surface=surf)
         n_written += 1
     return n_written
 

@@ -65,13 +65,16 @@ def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
     buffers.  ``do_integrate``: (K,) bool -- fuse that frame's point cloud
     into the map after tracking (the ``integrate_interval`` schedule).
     Returns (carry, (Rs, ts, energies)) where carry holds the final map
-    state and tracker temporal state.
+    state, tracker temporal state, and the LAST frame's processed point
+    cloud (pts_cam, normals_cam, pc_mask) so the caller can refresh
+    ``tracker.last_processed`` -- a later per-frame integrate must fuse this
+    chunk's final frame, not a stale pre-chunk one.
     """
     integrate = (HM.integrate_keyframe if isinstance(map_cfg, HM.HashMapConfig)
                  else M.integrate_keyframe)
 
     def step(carry, inp):
-        state, lR, lt, prev, rw, nu, dR, dt = carry
+        state, lR, lt, prev, rw, nu, dR, dt, _, _, _ = carry
         packed, integ = inp
         cur = tracker_mod.preprocess_frame_packed(tcfg, calib, packed, h, w)
         if tcfg.motion_prior == "constant_velocity":
@@ -91,11 +94,16 @@ def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
 
         state = jax.lax.cond(integ, fuse, lambda st: st, state)
         carry = (state, res.final_R, res.final_t, cur.pyramid,
-                 res.rgb_weight, res.n_unstable, res.delta_R, res.delta_t)
+                 res.rgb_weight, res.n_unstable, res.delta_R, res.delta_t,
+                 cur.pts_cam, cur.normals_cam, cur.pc_mask)
         return carry, (res.final_R, res.final_t, res.final_energy)
 
+    # seed the point-cloud carry slots with correctly-shaped zeros; K >= 1,
+    # so the outputs always come from a real frame
+    budget = tcfg.point_budget
     carry0 = (state, last_R, last_t, prev_pyr, rgb_weight, n_unstable,
-              delta_R, delta_t)
+              delta_R, delta_t, jnp.zeros((budget, 3), jnp.float32),
+              jnp.zeros((budget, 3), jnp.float32), jnp.zeros(budget, bool))
     return jax.lax.scan(step, carry0, (packed_chunk, do_integrate))
 
 
@@ -258,7 +266,8 @@ class SLAMSystem:
         h, w = frame.depth.shape
         if packed is None:
             packed = jnp.asarray(tracker_mod.pack_frame(
-                frame.rgb, frame.depth, self.tracker.calib.dcam_scale))
+                frame.rgb, frame.depth, self.tracker.calib.dcam_scale,
+                lossless=self.tracker.tcfg.lossless_packing))
         pose = self.tracker.track_camera_packed(
             self.state, packed, h, w, set_pose)
         if self.profile:
@@ -275,6 +284,10 @@ class SLAMSystem:
                 touched = opt_state.optimized & ~pre_optimized
                 self.state = self._map_mod.merge_optimize_result(
                     self.state, old_lat, opt_state.latents, old_cnt, touched)
+                # counters only grow; the snapshot's opt_overflow includes
+                # everything up to the optimize call, ours everything since
+                self.state = self.state._replace(opt_overflow=jnp.maximum(
+                    self.state.opt_overflow, opt_state.opt_overflow))
                 self._pending_opt = None
             w_pts, w_nrm, w_mask = self.tracker.last_pc_world(pose)
             self.state = self._map_mod.integrate_keyframe(
@@ -335,6 +348,8 @@ class SLAMSystem:
         assert self.tracker.n_tracked > 0, "process frame 0 first (set_pose)"
         assert not self.latent_optimize, \
             "latent_optimize uses the per-frame path"
+        assert not self.use_gt_poses, \
+            "gt-pose (mapping-only) mode uses the per-frame path"
         K = int(packed_chunk.shape[0])
         start = self.tracker.n_tracked
         do_integrate = jnp.asarray(
@@ -347,8 +362,13 @@ class SLAMSystem:
             tr.last_delta.R, tr.last_delta.t, packed_chunk, do_integrate,
             h, w)
         (self.state, _, _, tr.last_pyramid, tr.rgb_weight, tr.n_unstable,
-         dR, dt) = carry
+         dR, dt, last_pts, last_nrm, last_mask) = carry
         tr.last_delta = tracker_mod.Pose(dR, dt)
+        # keep last_processed fresh: a later per-frame integrate step fuses
+        # via tracker.last_pc_world, which must see THIS chunk's final frame
+        tr.last_processed = tracker_mod.ProcessedFrame(
+            pyramid=tr.last_pyramid, pts_cam=last_pts, normals_cam=last_nrm,
+            pc_mask=last_mask)
         tr.append_pose_chunk(Rs, ts)
         if self.mesher is not None and bool(np.any(np.asarray(do_integrate))):
             self.state = self.mesher.extract(self.state,
@@ -390,7 +410,9 @@ class SLAMSystem:
                     if i >= n:
                         break
                     h, w = frame.depth.shape
-                    pk = tracker_mod.pack_frame(frame.rgb, frame.depth, dcam)
+                    pk = tracker_mod.pack_frame(
+                        frame.rgb, frame.depth, dcam,
+                        lossless=self.tracker.tcfg.lossless_packing)
                     if not use_chunk or (i == 0 and self.tracker.n_tracked == 0):
                         q.put(("frame", frame, jnp.asarray(pk), h, w))
                     else:
@@ -427,6 +449,12 @@ class SLAMSystem:
             "n_frames": len(trajectory),
             "trajectory": trajectory,
             "n_voxels": int(self.state.n_occupied),
+            # capacity-pressure counters: allocations dropped at the map's
+            # slot capacity (or hash probe limit) and latent-optimizer
+            # working-table truncations -- nonzero values mean the run
+            # quietly lost coverage and capacity/table sizes need raising
+            "alloc_overflow": int(self.state.overflow),
+            "opt_overflow": int(self.state.opt_overflow),
         }
         if sequence.gt_trajectory is not None and all(
                 g is not None for g in sequence.gt_trajectory[:len(trajectory)]):
@@ -515,7 +543,9 @@ class SLAMSystem:
         self.finish_meshing()
         trajectory = self.tracker.all_pd_pose
         result: Dict[str, Any] = {"n_frames": i, "trajectory": trajectory,
-                                  "n_voxels": int(self.state.n_occupied)}
+                                  "n_voxels": int(self.state.n_occupied),
+                                  "alloc_overflow": int(self.state.overflow),
+                                  "opt_overflow": int(self.state.opt_overflow)}
         if sequence.gt_trajectory is not None and all(
                 g is not None for g in sequence.gt_trajectory[:i]):
             result["ate_rmse"] = ate_rmse(sequence.gt_trajectory[:i], trajectory)

@@ -23,17 +23,26 @@ from ..utils.motion import Quaternion
 
 def perturb_normal(normals: np.ndarray, theta_range: float,
                    rng: np.random.Generator) -> np.ndarray:
-    """Random cone perturbation of unit normals (lif_dataset.py:10-24)."""
-    normal_x_1 = np.stack([-normals[:, 1], normals[:, 0], np.zeros_like(normals[:, 0])], axis=1)
-    normal_x_2 = np.stack([-normals[:, 2], np.zeros_like(normals[:, 0]), normals[:, 0]], axis=1)
-    mask = np.abs(np.abs(normals[:, 2]) - 1.0) > 0.1
-    normal_x = np.where(mask[:, None], normal_x_1, normal_x_2)
-    normal_x /= np.maximum(np.linalg.norm(normal_x, axis=1, keepdims=True), 1e-12)
-    normal_y = np.cross(normals, normal_x)
-    phi = rng.random((normals.shape[0], 1)) * 2.0 * np.pi
-    phi_dir = np.cos(phi) * normal_x + np.sin(phi) * normal_y
-    theta = rng.random((normals.shape[0], 1)) * theta_range
-    return np.cos(theta) * normals + np.sin(theta) * phi_dir
+    """Random cone perturbation of unit normals: tilt each normal by a
+    uniform angle in [0, theta_range) about a uniform in-plane azimuth (the
+    reference's normal-noise augmentation, lif_dataset.py:10-24; the tangent
+    frame construction here is our own).
+
+    Each normal's tangent basis comes from crossing it with whichever
+    coordinate axis it is least aligned with (z, else x) -- degenerate-free
+    for unit inputs, and since the azimuth is uniform the particular basis
+    choice does not change the output distribution."""
+    n = np.asarray(normals, np.float64)
+    use_z = np.abs(n[:, 2]) < 0.9
+    helper = np.where(use_z[:, None], np.array([0.0, 0.0, 1.0]),
+                      np.array([1.0, 0.0, 0.0]))
+    t1 = np.cross(n, helper)
+    t1 /= np.maximum(np.linalg.norm(t1, axis=1, keepdims=True), 1e-12)
+    t2 = np.cross(n, t1)
+    theta = rng.random((len(n), 1)) * theta_range
+    phi = rng.random((len(n), 1)) * (2.0 * np.pi)
+    tilt = np.cos(phi) * t1 + np.sin(phi) * t2
+    return np.cos(theta) * n + np.sin(theta) * tilt
 
 
 def _random_rotation(kind: Optional[str], rng: np.random.Generator) -> Optional[np.ndarray]:

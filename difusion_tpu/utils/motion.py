@@ -326,8 +326,13 @@ class Quaternion:
 
 
 class Isometry:
-    """Rigid transform q,t with the same operation surface as the reference's
-    ``Isometry`` (reference: pytorch/utils/motion_util.py:162-339)."""
+    """Rigid transform (q, t) with the same operation surface as the
+    reference's ``Isometry`` (reference: pytorch/utils/motion_util.py:162-339).
+
+    Provenance: the API (method names, layouts of the 9/12-float interchange
+    representations, GL post-multiply convention) is parity by necessity;
+    the implementations are this repo's own, on top of the from-scratch
+    :class:`Quaternion` and the series-form Lie maps above."""
 
     GL_POST_MULT: "Quaternion"
 
@@ -338,7 +343,7 @@ class Isometry:
         self.t = t
 
     def __repr__(self):
-        return f"Isometry: t = {self.t}, q = {self.q}"
+        return f"Isometry(q={self.q}, t={np.round(self.t, 6)})"
 
     @property
     def rotation(self) -> "Isometry":
@@ -397,18 +402,24 @@ class Isometry:
 
     @staticmethod
     def look_at(source: np.ndarray, target: np.ndarray, up: np.ndarray = None) -> "Isometry":
-        z_dir = target - source
-        z_dir = z_dir / np.linalg.norm(z_dir)
+        """Camera pose at ``source`` whose +z axis points at ``target``
+        (same convention as the reference's look_at: +y is the image-down
+        direction derived from ``up``, which defaults to world +y with a +x
+        fallback when the view direction is vertical)."""
+        eye = np.asarray(source, np.float64)
+        fwd = np.asarray(target, np.float64) - eye
+        fwd = fwd / np.linalg.norm(fwd)
         if up is None:
             up = np.array([0.0, 1.0, 0.0])
-            if np.linalg.norm(np.cross(z_dir, up)) < 1e-6:
+            if np.linalg.norm(np.cross(fwd, up)) < 1e-6:   # looking along +-y
                 up = np.array([1.0, 0.0, 0.0])
         else:
-            up = up / np.linalg.norm(up)
-        x_dir = np.cross(z_dir, up)
-        x_dir = x_dir / np.linalg.norm(x_dir)
-        y_dir = np.cross(z_dir, x_dir)
-        return Isometry(q=Quaternion(matrix=np.column_stack([x_dir, y_dir, z_dir])), t=np.asarray(source, dtype=np.float64))
+            up = np.asarray(up, np.float64) / np.linalg.norm(up)
+        right = np.cross(fwd, up)
+        right = right / np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        basis = np.stack([right, down, fwd], axis=1)       # camera axes as columns
+        return Isometry(q=Quaternion(matrix=basis), t=eye)
 
     @staticmethod
     def random(rng: np.random.Generator = None) -> "Isometry":
@@ -420,39 +431,47 @@ class Isometry:
                         t=source.t * (1 - alpha) + target.t * alpha)
 
     def tangent(self, prev_iso: "Isometry", next_iso: "Isometry") -> "Isometry":
-        t = 0.5 * (next_iso.t - prev_iso.t)
-        l1 = Quaternion.log((self.q.inverse * prev_iso.q).normalised)
-        l2 = Quaternion.log((self.q.inverse * next_iso.q).normalised)
-        e = Quaternion(array=-0.25 * (l1.q + l2.q))
-        return Isometry(t=t, q=self.q * Quaternion.exp(e))
+        """Trajectory tangent at this pose from its two neighbors: central-
+        difference velocity for translation; for rotation, exp of -1/4 the
+        summed logs of the relative rotations to each neighbor (the spline
+        tangent convention the reference uses for camera-rig smoothing)."""
+        vel = (next_iso.t - prev_iso.t) / 2.0
+        here_inv = self.q.inverse
+        logs = sum(Quaternion.log((here_inv * nb.q).normalised).q
+                   for nb in (prev_iso, next_iso))
+        spin = Quaternion.exp(Quaternion(array=logs * -0.25))
+        return Isometry(q=self.q * spin, t=vel)
 
     # -- 6D / 12D continuous representations ---------------------------------
+    # Layouts are interchange formats shared with the reference (9 = two
+    # rotation columns + t; 12 = column-major rotation + t).
     @property
     def continuous_repr(self) -> np.ndarray:
-        rot = self.q.rotation_matrix[:, 0:2].T.flatten()
-        return np.concatenate([rot, self.t])
+        R = self.q.rotation_matrix
+        return np.concatenate([R[:, 0], R[:, 1], self.t])
 
     @staticmethod
     def from_continuous_repr(rep, gs=True) -> "Isometry":
         rep = np.asarray(rep, dtype=np.float64)
         assert rep.shape == (9,)
-        col1, col2 = rep[0:3].copy(), rep[3:6].copy()
-        if gs:
-            col1 /= np.linalg.norm(col1)
-            col2 = col2 - np.dot(col1, col2) * col1
-            col2 /= np.linalg.norm(col2)
-        col3 = np.cross(col1, col2)
-        return Isometry(q=Quaternion(matrix=np.column_stack([col1, col2, col3])), t=rep[6:9])
+        a, b = rep[0:3], rep[3:6]
+        if gs:     # Gram-Schmidt the first two columns
+            a = a / np.linalg.norm(a)
+            b = b - (a @ b) * a
+            b = b / np.linalg.norm(b)
+        R = np.stack([a, b, np.cross(a, b)], axis=1)
+        return Isometry(q=Quaternion(matrix=R), t=rep[6:9])
 
     @property
     def full_repr(self) -> np.ndarray:
-        return np.concatenate([self.q.rotation_matrix.T.flatten(), self.t])
+        return np.concatenate([self.q.rotation_matrix.flatten(order="F"),
+                               self.t])
 
     @staticmethod
     def from_full_repr(rep: np.ndarray, ortho=False) -> "Isometry":
         rep = np.asarray(rep, dtype=np.float64)
         assert rep.shape == (12,)
-        rot = rep[0:9].reshape(3, 3).T
+        rot = rep[0:9].reshape(3, 3, order="F")
         if ortho:
             rot = project_orthogonal(rot)
         return Isometry(q=Quaternion(matrix=rot), t=rep[9:12])

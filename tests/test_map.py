@@ -227,6 +227,32 @@ class TestOptimize:
         after = nll(state2.latents)
         assert after < before
         assert bool(jnp.any(state2.optimized))
+        # every touched slot fit the working table: no truncation recorded
+        assert int(state2.opt_overflow) == 0
+
+    def test_optimize_max_slots_overflow_is_counted(self, nets):
+        """Touched slots beyond the working-table budget keep fused values
+        AND the truncation is recorded in opt_overflow (round-2 advisor
+        finding: the cap used to be silent)."""
+        dec, enc = nets
+        cfg = small_cfg(prune_min_vox_obs=0, ignore_count_th=0.0,
+                        encoder_count_th=10.0)
+        state = M.create_map_state(cfg)
+        pts, nrm = plane_cloud(4000)
+        state = M.integrate_keyframe(cfg, enc, state, pts, nrm,
+                                     jnp.ones(pts.shape[0], bool))
+        slot_ids, rel, gt, mask = M.build_optimize_samples(
+            cfg, state, pts, nrm, jnp.ones(pts.shape[0], bool),
+            jax.random.key(0))
+        n_unique = len(np.unique(np.asarray(slot_ids)[np.asarray(mask)]))
+        budget = max(n_unique // 2, 1)
+        state2 = M.optimize_latents(cfg, dec, SPEC_D, state, slot_ids, rel,
+                                    gt, mask, n_iters=2, max_slots=budget)
+        assert int(state2.opt_overflow) == n_unique - budget
+        # a second truncated call accumulates
+        state3 = M.optimize_latents(cfg, dec, SPEC_D, state2, slot_ids, rel,
+                                    gt, mask, n_iters=2, max_slots=budget)
+        assert int(state3.opt_overflow) == 2 * (n_unique - budget)
 
 
 class TestMergeOptimizeResult:

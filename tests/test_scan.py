@@ -128,6 +128,39 @@ def test_run_sequence_chunked_matches_per_frame(prior):
     np.testing.assert_allclose(r_chk["ate_rmse"], r_ref["ate_rmse"], atol=1e-5)
 
 
+def test_chunk_refreshes_last_processed(prior):
+    """After process_chunk, tracker.last_processed must hold the CHUNK's
+    final frame: a later per-frame step landing on an integrate frame fuses
+    via last_pc_world, and a stale pre-chunk cloud would corrupt the map
+    (round-2 advisor finding).  Also: gt-pose mode must refuse the chunked
+    path."""
+    frames = _frames(7)
+    ref, chunked = _run_pair(prior, frames)
+    np.testing.assert_allclose(
+        np.asarray(chunked.tracker.last_processed.pts_cam),
+        np.asarray(ref.tracker.last_processed.pts_cam), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(chunked.tracker.last_processed.pc_mask),
+        np.asarray(ref.tracker.last_processed.pc_mask))
+
+    # mixing chunk -> per-frame must now match pure per-frame end to end
+    extra = SyntheticSequence(n_frames=10, h=120, w=160, calib=CALIB,
+                              corrugation=0.1, motion_scale=0.6)
+    more = [next(extra) for _ in range(10)][7:]
+    for f in more:
+        ref.process_frame(f)
+        chunked.process_frame(f)
+    np.testing.assert_allclose(np.asarray(chunked.state.latents),
+                               np.asarray(ref.state.latents), atol=1e-5)
+
+    chunked.use_gt_poses = True
+    h, w = frames[0].depth.shape
+    pk = jnp.stack([jnp.asarray(tracker_mod.pack_frame(
+        f.rgb, f.depth, CALIB.dcam_scale)) for f in frames[1:3]])
+    with pytest.raises(AssertionError):
+        chunked.process_chunk(pk, h, w)
+
+
 def test_gt_pose_mapping_only(prior):
     """use_gt_poses (BASELINE eval config 2): fusion under the GT trajectory,
     no tracking -- trajectory equals GT exactly, map still fills."""

@@ -316,6 +316,30 @@ def test_map_save_load_resume_tracking(prior, tmp_path):
     assert np.linalg.norm(err[:3]) < 0.02, err
 
 
+def test_capacity_exhaustion_is_surfaced(prior):
+    """When allocation overflows the slot capacity, run_sequence's result
+    reports it (alloc_overflow/opt_overflow counters) instead of silently
+    dropping coverage (VERDICT round 2, item 8)."""
+    dec, enc, spec = prior
+    map_cfg = M.MapConfig(bound_min=(-2.0, -2.0, -0.5), n_xyz=(40, 40, 40),
+                          voxel_size=0.1, latent_dim=29, capacity=64,
+                          prune_min_vox_obs=4, ignore_count_th=1.0,
+                          encoder_count_th=600.0)
+    tcfg = TrackerConfig(point_budget=8192)
+    calib = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
+    system = SLAMSystem(map_cfg, tcfg, dec, enc, spec, calib,
+                        integrate_interval=2, depth_cut=(0.5, 5.0),
+                        meshing=False)
+    seq = SyntheticSequence(n_frames=5, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    result = system.run_sequence(seq)
+    assert "alloc_overflow" in result and "opt_overflow" in result
+    # a 64-slot map cannot hold the scene: overflow must be visible
+    assert result["alloc_overflow"] > 0
+    assert result["n_voxels"] == 64
+
+
 def test_slam_hash_with_latent_optimization(prior):
     """Latent optimization over the hash backend through the pipeline."""
     from difusion_tpu.core import hash_map as H

@@ -238,6 +238,31 @@ def test_packed_preprocess_matches_direct():
                                atol=qi + 1e-6)
 
 
+def test_lossless_packing_is_bit_exact():
+    """pack_frame(lossless=True) + preprocess_frame_packed reproduces the
+    direct preprocess_frame numerics EXACTLY on float inputs (the parity/
+    debug opt-out for the quantized default packing)."""
+    pose = Isometry()
+    rgb, depth, ok = render_surface_frame(pose, CALIB, corrugation=0.1)
+    tcfg = T.TrackerConfig(point_budget=4096)
+    rgb_f = np.asarray(rgb, np.float32)
+
+    direct = T.preprocess_frame(tcfg, CALIB, jnp.asarray(rgb_f), depth)
+    packed = jnp.asarray(T.pack_frame(rgb_f, np.asarray(depth),
+                                      CALIB.dcam_scale, lossless=True))
+    assert packed.shape[0] == 16 * depth.shape[0] * depth.shape[1]
+    via = T.preprocess_frame_packed(tcfg, CALIB, packed,
+                                    depth.shape[0], depth.shape[1])
+    np.testing.assert_array_equal(np.asarray(direct.pyramid.depth[0]),
+                                  np.asarray(via.pyramid.depth[0]))
+    np.testing.assert_array_equal(np.asarray(direct.pyramid.intensity[0]),
+                                  np.asarray(via.pyramid.intensity[0]))
+    np.testing.assert_array_equal(np.asarray(direct.pts_cam),
+                                  np.asarray(via.pts_cam))
+    np.testing.assert_array_equal(np.asarray(direct.pc_mask),
+                                  np.asarray(via.pc_mask))
+
+
 def test_pallas_window_stencil_matches_jnp():
     """The Pallas window-stat kernel (interpret mode on CPU) must match the
     jnp patch-stack formulation."""
