@@ -44,6 +44,13 @@ from . import hash_map as HM
 from . import map as M
 
 
+def _stride_tuple(v, n_levels: int = 3) -> Tuple[int, ...]:
+    """Broadcast an int stride to a per-pyramid-level tuple."""
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return (int(v),) * n_levels
+
+
 class TrackerConfig(NamedTuple):
     """Static tracker configuration (hashable -> jit static).  Defaults match
     configs/fusion-lr-kt.yaml:38-56."""
@@ -74,19 +81,32 @@ class TrackerConfig(NamedTuple):
     # to reproduce reference scheduling exactly.
     xi_tol: float = 1e-5
     energy_rel_tol: float = 1e-4
-    # evaluate the photometric term on a stride-s pixel subset of every
-    # pyramid level: the warp's random gathers dominate GN wall time on TPU,
-    # and a strided subset is an unbiased subsample of the normal equations
-    # (the reference uses every pixel; set 1 for exact parity; ATE moves
-    # <0.2 mm between strides 2-4 on the synthetic ICL sequence)
-    rgb_stride: int = 2
+    # evaluate the photometric term on a stride-s pixel subset PER PYRAMID
+    # LEVEL (index = level); an int broadcasts to all levels.  Stride 1 =
+    # every pixel (reference numerics).  The warp's random gathers dominate
+    # GN wall time on TPU (roofline: 5.7 of the 11.3 ms frame at stride 1),
+    # so stride is the main throughput lever; it costs ~9% ATE on degraded
+    # input (round-3 knob study).  A gradient-argmax tile selection was
+    # built and measured as an alternative: no ATE gain over the corner
+    # subsample on the synthetic sequences and slower (the tile relayouts
+    # outweigh the saved gather rows), so plain strides stay.
+    rgb_stride: Tuple[int, ...] = (1, 1, 1)
     # depth observation range (reference main.py:67-68, configs yaml:20-21)
     depth_cut_min: float = 0.5
     depth_cut_max: float = 5.0
-    # matmul precision for the SDF term's decoder evals: bf16 rides the MXU
-    # at 2x+ the f32 rate; residuals/solves stay f32 (set "float32" for
-    # reference-grade numerics)
-    sdf_compute_dtype: str = "bfloat16"
+    # matmul precision for the SDF term's decoder evals.  Default f32 =
+    # reference-grade numerics; "bfloat16" rides the MXU at 2x+ the f32
+    # rate as a speed opt-in (costs ~8% ATE on degraded input).  Round-3
+    # measurements on one TPU chip: defaults (f32, stride 1, early exits
+    # on) hold 88 fps resident -- 2.9x the 30 fps target -- and track
+    # BETTER than exact reference scheduling (0.0193 vs 0.0196 ATE on the
+    # degraded 120-frame sequence), so accuracy-first is the default and
+    # bf16/stride are opt-ins, not the other way around.
+    sdf_compute_dtype: str = "float32"
+    # when sdf_compute_dtype is bf16, still run the FINAL iteration group's
+    # SDF term in f32: the last group polishes the pose and is the
+    # precision-sensitive part (no-op under the f32 default)
+    sdf_f32_last_group: bool = True
     # GN initialization: "none" starts at the last pose (the reference's
     # identity lspeed placeholder, tracker.py:118-119); "constant_velocity"
     # seeds with the previous inter-frame delta
@@ -116,15 +136,19 @@ class TrackerConfig(NamedTuple):
             min_grad_scale=float(rgb.get("min_grad_scale", 0.0)),
             max_depth_delta=float(rgb.get("max_depth_delta", 0.2)),
             point_budget=point_budget,
-            # speed/accuracy knobs (set all four to the reference-parity
-            # values rgb_stride=1, tols=0, float32 to reproduce reference
-            # scheduling and numerics exactly)
-            rgb_stride=int(getattr(args, "rgb_stride", d["rgb_stride"])),
+            # speed/accuracy knobs.  Defaults are reference numerics
+            # (stride 1, f32) + early-exit scheduling; set xi_tol and
+            # energy_rel_tol to 0 to reproduce reference scheduling exactly,
+            # or opt into bf16/stride-2 for speed.
+            rgb_stride=_stride_tuple(getattr(args, "rgb_stride",
+                                             d["rgb_stride"])),
             xi_tol=float(getattr(args, "xi_tol", d["xi_tol"])),
             energy_rel_tol=float(getattr(args, "energy_rel_tol",
                                          d["energy_rel_tol"])),
             sdf_compute_dtype=str(getattr(args, "sdf_compute_dtype",
                                           d["sdf_compute_dtype"])),
+            sdf_f32_last_group=bool(getattr(args, "sdf_f32_last_group",
+                                            d["sdf_f32_last_group"])),
             motion_prior=str(getattr(args, "motion_prior", d["motion_prior"])),
             lossless_packing=bool(getattr(args, "lossless_packing",
                                           d["lossless_packing"])),
@@ -449,7 +473,7 @@ def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
     hoist them out of the GN ``while_loop`` (profiled: ~2 ms/frame of
     re-sliced loop-invariant data) -- so the caller precomputes them outside
     the iteration loops and threads them in."""
-    st = tcfg.rgb_stride
+    st = tcfg.rgb_stride[level]
     sub = partial(imgproc.subsample2d, s=st)
     return jax.lax.optimization_barrier(
         (sub(cur.intensity[level]), sub(cur.depth[level]),
@@ -474,7 +498,7 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     kt = K @ delta.t
     intr = jnp.array([fx, fy, cx, cy])
 
-    st = tcfg.rgb_stride
+    st = tcfg.rgb_stride[level]
     c_int, c_depth, c_ok, c_grad, c_gok = cur_level
     f, J, ok = imgproc.rgb_odometry(
         prev.intensity[level], prev.depth[level], None,
@@ -542,16 +566,21 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     cur_levels = {lvl: _rgb_level_inputs(tcfg, cur.pyramid, lvl)
                   for lvl in sorted(rgb_levels)}
 
-    def eval_Hg(delta: Pose, terms):
+    def eval_Hg(delta: Pose, terms, is_last_group: bool):
         H = jnp.zeros((6, 6), jnp.float32)
         g = jnp.zeros(6, jnp.float32)
         E = jnp.zeros((), jnp.float32)
+        # the final group polishes the pose: optionally force f32 there
+        # while the insensitive early groups ride the MXU in bf16
+        sdf_dtype = jnp.dtype(jnp.float32
+                              if (is_last_group and tcfg.sdf_f32_last_group)
+                              else tcfg.sdf_compute_dtype)
         for term in terms:
             if term[0] == "sdf":
                 tH, tg, tE = _sdf_term(map_cfg, dec_params, spec, state, last,
                                        delta, cur.pts_cam, cur.pc_mask,
                                        tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
-                                       compute_dtype=jnp.dtype(tcfg.sdf_compute_dtype))
+                                       compute_dtype=sdf_dtype)
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur_levels[int(term[1])], delta,
@@ -566,14 +595,16 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     energy = jnp.full((), jnp.inf, jnp.float32)
 
     for group_idx, (n, terms) in enumerate(tcfg.iter_config):
+        is_last_group = group_idx == len(tcfg.iter_config) - 1
+
         def cond(carry):
             i, _, _, _, _, _, done = carry
             return (i <= n) & ~done
 
-        def body(carry):
+        def body(carry, terms=terms, is_last_group=is_last_group):
             i, dR, dt, bR, bt, bE, done = carry
             d = Pose(dR, dt)
-            H, g, E = eval_Hg(d, terms)
+            H, g, E = eval_Hg(d, terms, is_last_group)
             worse = E > bE
             accept = ~worse
             stalled = (bE - E) < tcfg.energy_rel_tol * jnp.abs(E)

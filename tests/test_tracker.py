@@ -150,6 +150,7 @@ def test_sdf_term_gradient_consistency():
 
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint unavailable")
+@pytest.mark.slow
 def test_two_frame_tracking_recovers_pose():
     """Integrate a wall at a known pose, then track a second frame rendered
     from a perturbed camera; the GN solve should recover the true motion."""
@@ -197,6 +198,7 @@ def test_robust_weight_kinds():
     np.testing.assert_allclose(w, 1.0)
 
 
+@pytest.mark.slow
 def test_packed_preprocess_matches_direct():
     """pack_frame + preprocess_frame_packed must equal preprocess_frame: the
     uint8 mean intensity is the sensor's own quantization (half-step
@@ -238,6 +240,7 @@ def test_packed_preprocess_matches_direct():
                                atol=qi + 1e-6)
 
 
+@pytest.mark.slow
 def test_lossless_packing_is_bit_exact():
     """pack_frame(lossless=True) + preprocess_frame_packed reproduces the
     direct preprocess_frame numerics EXACTLY on float inputs (the parity/
@@ -263,6 +266,7 @@ def test_lossless_packing_is_bit_exact():
                                   np.asarray(via.pc_mask))
 
 
+@pytest.mark.slow
 def test_pallas_window_stencil_matches_jnp():
     """The Pallas window-stat kernel (interpret mode on CPU) must match the
     jnp patch-stack formulation."""
