@@ -1,16 +1,36 @@
-"""Noise-hardened tracker accuracy study (BASELINE configs 2-3 evidence).
+"""Noise-hardened tracker + mapping accuracy study (BASELINE configs 2-3
+evidence; VERDICT round-2 items 1, 2 and 9).
 
-Generates ICL-format synthetic sequences -- clean, and sensor-degraded
-(uint16 quantization by construction, quadratic depth noise, dropout holes,
-2x faster motion) -- and runs full SLAM under BOTH tracker configurations:
+Sequences (ICL-format on disk, decoded through the full production path):
 
-* tuned defaults: rgb_stride=2, early-exit tolerances on, bf16 decoder evals
-* reference parity: rgb_stride=1, tolerances 0, float32 (reference
-  tracker.py:131-283 scheduling/numerics)
+* ``drift`` (120 fr): forward wander over fresh surface -- clean and
+  sensor-degraded (uint16 quantization by construction, quadratic depth
+  noise, dropout holes, 2x faster motion).
+* ``loop`` (300 fr): closed circuit whose final ~20% re-enters territory
+  mapped at the start -- tracking against an OLD map, the SLAM failure mode
+  forward drift never exercises; clean and degraded.
 
-Prints a markdown ATE table for the README.
+Per sequence, three tracker configurations run:
 
-Usage: python tools/accuracy_study.py [--frames 120] [--out /tmp/acc_study]
+* defaults: reference numerics (rgb stride 1, f32 decoder evals) with
+  early-exit tolerances on -- 88 fps resident on one chip
+* reference parity: tolerances 0 as well (exact reference tracker.py:131-283
+  scheduling and numerics)
+* speed opt-in: rgb_stride=2, bf16 decoder evals (f32 final group) -- the
+  knobs for throughput-bound deployments
+
+and each run reports ATE, throughput, and the quantitative mesh error
+against the analytic surface (difusion_tpu.data.production.mesh_error_stats)
+from a final full extract.
+
+A separate mapping-only A/B (GT poses, fusion identical) isolates the value
+of latent optimization (reference map.py:459-513 + OptimizeProcess): mesh
+error with ``latent_optimize`` on vs off.
+
+Writes <out>/results.json and prints markdown tables for the README.
+
+Usage: python tools/accuracy_study.py [--frames 120] [--loop-frames 300]
+       [--out /tmp/acc_study] [--skip-optimize-ab]
 """
 import argparse
 import json
@@ -20,16 +40,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+HYPER = "/root/reference/pytorch/ckpt/default/hyper.json"
 
-def run_slam(data_dir: str, frames: int, parity: bool):
+
+def _tracking_args(variant: str = "default"):
     from difusion_tpu.config import dict_to_args
-    from difusion_tpu.core import map as M
-    from difusion_tpu.core.tracker import TrackerConfig
-    from difusion_tpu.data.production import ICLNUIMSequence
-    from difusion_tpu.slam import SLAMSystem
-
-    seq = ICLNUIMSequence(path=data_dir, start_frame=0, end_frame=-1,
-                          first_tq=[0, 0, 0, 1, 0, 0, 0], load_gt=True)
     tracking = {
         "iter_config": [
             {"n": 10, "type": [["rgb", 2]]},
@@ -41,33 +56,97 @@ def run_slam(data_dir: str, frames: int, parity: bool):
                 "min_grad_scale": 0.0, "max_depth_delta": 0.2},
     }
     targs = dict_to_args(tracking)
-    if parity:
-        targs.rgb_stride = 1
+    if variant == "parity":      # defaults are already stride-1 f32
         targs.xi_tol = 0.0
         targs.energy_rel_tol = 0.0
-        targs.sdf_compute_dtype = "float32"
-    tcfg = TrackerConfig.from_args(targs, point_budget=1 << 13)
+    elif variant == "speed":
+        targs.rgb_stride = 2
+        targs.sdf_compute_dtype = "bfloat16"
+    else:
+        assert variant == "default", variant
+    return targs
 
-    map_cfg = M.MapConfig(bound_min=(-3.5, -3.5, -0.5), n_xyz=(70, 70, 40),
-                          voxel_size=0.1, latent_dim=29, capacity=1 << 16,
-                          prune_min_vox_obs=16, ignore_count_th=16.0,
-                          encoder_count_th=600.0)
-    from difusion_tpu.slam import load_prior
-    dec, enc, spec = load_prior(
-        "/root/reference/pytorch/ckpt/default/hyper.json", 300)
-    system = SLAMSystem(map_cfg, tcfg, dec, enc, spec, seq.calib,
+
+def _map_cfg(encoder_count_th=600.0):
+    from difusion_tpu.core import map as M
+    return M.MapConfig(bound_min=(-3.5, -3.5, -0.5), n_xyz=(70, 70, 40),
+                       voxel_size=0.1, latent_dim=29, capacity=1 << 16,
+                       prune_min_vox_obs=16, ignore_count_th=16.0,
+                       encoder_count_th=encoder_count_th)
+
+
+def run_slam(data_dir: str, frames: int, variant: str, chunk: int = 12,
+             mesh: bool = True):
+    """Full SLAM over an on-disk ICL-format sequence; returns a result dict
+    with ate_rmse, fps, and mesh error stats from one final full extract."""
+    from difusion_tpu.core.tracker import TrackerConfig
+    from difusion_tpu.data.production import ICLNUIMSequence, mesh_error_stats
+    from difusion_tpu.slam import SLAMSystem, load_prior
+
+    seq = ICLNUIMSequence(path=data_dir, start_frame=0, end_frame=-1,
+                          first_tq=[0, 0, 0, 1, 0, 0, 0], load_gt=True)
+    tcfg = TrackerConfig.from_args(_tracking_args(variant),
+                                   point_budget=1 << 13)
+    dec, enc, spec = load_prior(HYPER, 300)
+    system = SLAMSystem(_map_cfg(), tcfg, dec, enc, spec, seq.calib,
                         integrate_interval=20, depth_cut=(0.5, 5.0),
-                        meshing=False)
+                        meshing=mesh, meshing_interval=10 ** 9,
+                        mesh_resolution=4)
     t0 = time.perf_counter()
-    result = system.run_sequence(seq, max_frames=frames)
+    result = system.run_sequence(seq, max_frames=frames, chunk=chunk)
     dt = time.perf_counter() - t0
-    return result.get("ate_rmse", float("nan")), result["n_frames"] / dt
+    out = {"ate_rmse": result.get("ate_rmse", float("nan")),
+           "fps": result["n_frames"] / dt,
+           "n_voxels": result["n_voxels"]}
+    if mesh:
+        system.state = system.mesher.extract(system.state, max_std=0.25,
+                                             no_cache=True)
+        out.update(mesh_error_stats(system.mesher.triangles()[0]))
+    return out
+
+
+def run_mapping_only(frames: int, latent_optimize: bool):
+    """Mapping-only A/B (GT poses; isolates latent optimization's effect on
+    map quality).  Runs straight from the renderer -- no tracking, so the
+    production decode path adds nothing here."""
+    from difusion_tpu.core import map as M
+    from difusion_tpu.core.tracker import TrackerConfig
+    from difusion_tpu.data import SyntheticSequence
+    from difusion_tpu.data.production import ICLNUIMSequence, mesh_error_stats
+    from difusion_tpu.slam import SLAMSystem, load_prior
+
+    seq = SyntheticSequence(n_frames=frames, h=480, w=640,
+                            calib=ICLNUIMSequence.CALIB, corrugation=0.1,
+                            motion_scale=0.5)
+    dec, enc, spec = load_prior(HYPER, 300)
+    # lower convergence threshold so voxels reach the optimizable state
+    # within the sequence; identical for both arms, so the A/B is fair
+    system = SLAMSystem(_map_cfg(encoder_count_th=200.0),
+                        TrackerConfig.from_args(_tracking_args("default"),
+                                                point_budget=1 << 13),
+                        dec, enc, spec, seq.calib,
+                        integrate_interval=10, depth_cut=(0.5, 5.0),
+                        meshing=True, meshing_interval=10 ** 9,
+                        mesh_resolution=4, latent_optimize=latent_optimize,
+                        latent_optimize_mode="sync", optim_n_iters=20)
+    system.use_gt_poses = True
+    result = system.run_sequence(seq, max_frames=frames)
+    system.state = system.mesher.extract(system.state, max_std=0.25,
+                                         no_cache=True)
+    out = mesh_error_stats(system.mesher.triangles()[0])
+    out["n_voxels"] = result["n_voxels"]
+    out["opt_overflow"] = result["opt_overflow"]
+    return out
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=120)
+    parser.add_argument("--loop-frames", type=int, default=300)
     parser.add_argument("--out", default="/tmp/acc_study")
+    parser.add_argument("--skip-optimize-ab", action="store_true")
+    parser.add_argument("--only", default="",
+                        help="substring filter on sequence names")
     args = parser.parse_args(argv)
 
     from difusion_tpu.utils.jaxtools import enable_persistent_compilation_cache
@@ -75,30 +154,59 @@ def main(argv=None):
     from tools.make_synthetic_icl import main as make_icl
 
     out = Path(args.out)
+    noisy = dict(noise_sigma=0.004, dropout=0.02, seed=3)
     datasets = {
-        "clean": dict(motion_scale=0.5),
-        "noisy (4mm@1m noise, 2% holes, 2x motion)":
-            dict(motion_scale=1.0, noise_sigma=0.004, dropout=0.02, seed=3),
+        "drift-clean": dict(n_frames=args.frames, motion_scale=0.5),
+        "drift-noisy(4mm@1m,2%holes,2x)": dict(n_frames=args.frames,
+                                               motion_scale=1.0, **noisy),
+        "loop300-clean": dict(n_frames=args.loop_frames, motion_scale=1.2,
+                              trajectory="loop"),
+        "loop300-noisy": dict(n_frames=args.loop_frames, motion_scale=1.2,
+                              trajectory="loop", **noisy),
     }
     rows = []
     for name, kw in datasets.items():
-        d = out / name.split()[0]
+        if args.only and args.only not in name:
+            continue
+        d = out / name.split("(")[0]
+        n = kw["n_frames"]
         if not (d / "groundtruth.txt").exists():
-            make_icl(str(d), args.frames, **kw)
-        for parity in (False, True):
-            label = "reference-parity" if parity else "tuned defaults"
-            ate, fps = run_slam(str(d), args.frames, parity)
-            rows.append((name, label, ate, fps))
-            print(f"[{name} / {label}] ate_rmse={ate:.4f} m  {fps:.1f} fps",
-                  flush=True)
+            make_icl(str(d), **kw)
+        for label in ("default", "parity", "speed"):
+            r = run_slam(str(d), n, label)
+            r.update(seq=name, config=label)
+            rows.append(r)
+            print(f"[{name} / {label}] ate_rmse={r['ate_rmse']:.4f} m  "
+                  f"mesh_err={r.get('mesh_err_mean', float('nan')):.4f} m  "
+                  f"{r['fps']:.1f} fps", flush=True)
 
-    print("\n| sequence | tracker config | ATE RMSE (m) | fps |")
-    print("|---|---|---|---|")
-    for name, label, ate, fps in rows:
-        print(f"| {name} | {label} | {ate:.4f} | {fps:.1f} |")
+    ab = []
+    if not args.skip_optimize_ab and not args.only:
+        for opt in (False, True):
+            r = run_mapping_only(args.frames, opt)
+            r["latent_optimize"] = opt
+            ab.append(r)
+            print(f"[mapping-only / latent_optimize={opt}] "
+                  f"mesh_err={r['mesh_err_mean']:.4f} m "
+                  f"(p95 {r['mesh_err_p95']:.4f})", flush=True)
+
+    print("\n| sequence | tracker config | ATE RMSE (m) | mesh err mean (m) "
+          "| mesh err p95 (m) | fps |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['seq']} | {r['config']} | {r['ate_rmse']:.4f} | "
+              f"{r.get('mesh_err_mean', float('nan')):.4f} | "
+              f"{r.get('mesh_err_p95', float('nan')):.4f} | {r['fps']:.1f} |")
+    if ab:
+        print("\n| mapping-only (GT poses) | mesh err mean (m) | p95 (m) |")
+        print("|---|---|---|")
+        for r in ab:
+            lab = "latent_optimize on" if r["latent_optimize"] else "fusion only"
+            print(f"| {lab} | {r['mesh_err_mean']:.4f} | {r['mesh_err_p95']:.4f} |")
+
+    out.mkdir(parents=True, exist_ok=True)
     (out / "results.json").write_text(json.dumps(
-        [dict(seq=n, config=l, ate_rmse=a, fps=f) for n, l, a, f in rows],
-        indent=2))
+        {"slam": rows, "mapping_only_ab": ab}, indent=2))
 
 
 if __name__ == "__main__":

@@ -27,11 +27,13 @@ def conjugate_for_freiburg(pose):
 
 
 def main(out_dir: str, n_frames: int = 12, motion_scale: float = 0.5,
-         noise_sigma: float = 0.0, dropout: float = 0.0, seed: int = 0):
+         noise_sigma: float = 0.0, dropout: float = 0.0, seed: int = 0,
+         trajectory: str = "drift"):
     """``noise_sigma``: depth noise stddev as sigma * z^2 (the Kinect-like
     quadratic model, e.g. 0.004 -> 16 mm at 2 m); ``dropout``: fraction of
     valid pixels zeroed (sensor holes).  The depth PNGs are uint16 at
-    1/5000 m, so sensor quantization is applied by construction."""
+    1/5000 m, so sensor quantization is applied by construction.
+    ``trajectory``: "drift" | "loop" | "out_back" (see SyntheticSequence)."""
     import cv2
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -44,7 +46,8 @@ def main(out_dir: str, n_frames: int = 12, motion_scale: float = 0.5,
 
     seq = SyntheticSequence(n_frames=n_frames, h=480, w=640,
                             calib=ICLNUIMSequence.CALIB,
-                            corrugation=0.1, motion_scale=motion_scale)
+                            corrugation=0.1, motion_scale=motion_scale,
+                            trajectory=trajectory)
     rng = np.random.default_rng(seed)
     rows = []
     for i, frame in enumerate(seq):
@@ -83,6 +86,8 @@ if __name__ == "__main__":
     p.add_argument("--dropout", type=float, default=0.0,
                    help="fraction of depth pixels zeroed")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trajectory", default="drift",
+                   choices=["drift", "loop", "out_back"])
     a = p.parse_args()
     main(a.out_dir, a.n_frames, a.motion_scale, a.noise_sigma, a.dropout,
-         a.seed)
+         a.seed, a.trajectory)
