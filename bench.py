@@ -15,27 +15,34 @@ a map latent transitively depend on every frame's track and every
 integrate).  The headline is the MEAN fps over passes; the best pass is
 reported alongside.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "best",
-"passes"} where vs_baseline is the mean relative to the BASELINE north-star
-target of 30 fps track+fuse on one TPU chip.
+The same line always carries ``resident_fps``: the pure-compute rate with
+frames pre-uploaded (what a non-tunneled TPU host would stream at, since
+PCIe moves 0.9 MB/frame in well under a millisecond) -- the transport-free
+signal the transport-bound headline hides.  If tools/roofline.py has written
+BENCH_ROOFLINE.json, its per-stage device budget (stage_ms, decoder_mfu)
+is merged into the line.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "median",
+"best", "passes", "resident_fps", "frame_ms", ...}.
 """
 import argparse
 import json
 import os
 import time
+from pathlib import Path
 
 CHUNK = 12
 PASSES = 8
 
 
-def main(resident: bool = False):
+def build_system(n_chunks: int = 3, point_budget: int = 1 << 13):
+    """Build the benchmark SLAM system, pre-render + pack the frames, and
+    warm up (frame 0 set-pose path + one compiled chunk).  Returns
+    (system, bench_chunks, h, w) with bench_chunks a list of ``n_chunks``
+    host-packed (CHUNK, L) uint8 stacks."""
     import jax
-    import numpy as np
-
-    from difusion_tpu.utils.jaxtools import enable_persistent_compilation_cache
-    enable_persistent_compilation_cache()
-
     import jax.numpy as jnp
+    import numpy as np
 
     from difusion_tpu.core import map as M
     from difusion_tpu.core import tracker as tracker_mod
@@ -60,20 +67,17 @@ def main(resident: bool = False):
         enc = fold_encoder_params(init_encoder_params(EncoderSpec(), jax.random.key(1)))
 
     calib = Intrinsic(481.2, 480.0, 319.5, 239.5, 5000.0)  # ICL-NUIM
-    n_bench = 3 * CHUNK
+    n_bench = n_chunks * CHUNK
     seq = SyntheticSequence(n_frames=1 + CHUNK + n_bench, h=480, w=640,
                             calib=calib, corrugation=0.1, motion_scale=0.5)
     map_cfg = M.MapConfig(bound_min=(-3.5, -3.5, -0.5), n_xyz=(70, 70, 40),
                           voxel_size=0.1, latent_dim=spec_d.latent_size,
                           capacity=1 << 16, prune_min_vox_obs=16,
                           ignore_count_th=16.0, encoder_count_th=600.0)
-    tcfg = TrackerConfig(point_budget=1 << 13)
+    tcfg = TrackerConfig(point_budget=point_budget)
     system = SLAMSystem(map_cfg, tcfg, dec, enc, spec_d, calib,
                         integrate_interval=20, depth_cut=(0.5, 5.0),
                         meshing=False)
-
-    import queue
-    import threading
 
     h, w = 480, 640
     # pre-render + pack on the host (real datasets decode PNGs in a few ms;
@@ -83,28 +87,48 @@ def main(resident: bool = False):
                  for f in all_frames]
 
     # warmup: frame 0 (set_pose path) + one chunk (compiles the scan)
-    system.process_frame(all_frames[0],
-                         packed=jnp.asarray(packed_np[0]))
+    system.process_frame(all_frames[0], packed=jnp.asarray(packed_np[0]))
     system.process_chunk(jnp.asarray(np.stack(packed_np[1:1 + CHUNK])), h, w)
     np.asarray(system.tracker.last_pose.t)   # drain; compile is done
 
     bench_chunks = [np.stack(packed_np[1 + CHUNK + i:1 + CHUNK + i + CHUNK])
                     for i in range(0, n_bench, CHUNK)]
+    return system, bench_chunks, h, w
 
-    if resident:
-        # device-resident variant: pre-upload the chunks and measure pure
-        # compute throughput (what a non-tunneled TPU host would stream at,
-        # since PCIe moves 0.9 MB/frame in well under a millisecond)
-        dev_chunks = [jnp.asarray(c) for c in bench_chunks]
-        jax.block_until_ready(dev_chunks)
+
+def measure_resident(system, bench_chunks, h, w, passes: int = 4):
+    """Pure-compute fps: chunks pre-uploaded, one sync per pass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev_chunks = [jnp.asarray(c) for c in bench_chunks]
+    jax.block_until_ready(dev_chunks)
+    np.asarray(system.tracker.last_pose.t)
+    n_bench = len(bench_chunks) * CHUNK
+    fps = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        for c in dev_chunks:
+            system.process_chunk(c, h, w)
         np.asarray(system.tracker.last_pose.t)
-        fps = []
-        for _ in range(max(PASSES // 2, 3)):
-            t0 = time.perf_counter()
-            for c in dev_chunks:
-                system.process_chunk(c, h, w)
-            np.asarray(system.tracker.last_pose.t)
-            fps.append(n_bench / (time.perf_counter() - t0))
+        fps.append(n_bench / (time.perf_counter() - t0))
+    return fps
+
+
+def main(resident_only: bool = False):
+    import numpy as np
+
+    from difusion_tpu.utils.jaxtools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+    import jax.numpy as jnp
+
+    system, bench_chunks, h, w = build_system(n_chunks=3)
+    n_bench = len(bench_chunks) * CHUNK
+
+    if resident_only:
+        fps = measure_resident(system, bench_chunks, h, w, passes=4)
         print(json.dumps({"metric": "synthetic_icl_track_fuse_fps_resident",
                           "value": round(float(np.mean(fps)), 2),
                           "unit": "frames/sec",
@@ -112,6 +136,9 @@ def main(resident: bool = False):
                           "best": round(float(np.max(fps)), 2),
                           "passes": len(fps)}))
         return
+
+    import queue
+    import threading
 
     q = queue.Queue(maxsize=4)
 
@@ -143,16 +170,33 @@ def main(resident: bool = False):
 
     fps = [n_bench / t for t in pass_t]
     mean_fps = float(np.mean(fps))
-    best_fps = float(np.max(fps))
-    print(json.dumps({"metric": "synthetic_icl_track_fuse_fps",
-                      "value": round(mean_fps, 2), "unit": "frames/sec",
-                      "vs_baseline": round(mean_fps / 30.0, 3),
-                      "median": round(float(np.median(fps)), 2),
-                      "best": round(best_fps, 2), "passes": len(fps)}))
+
+    res_fps = measure_resident(system, bench_chunks, h, w, passes=4)
+    resident = float(np.mean(res_fps))
+
+    line = {"metric": "synthetic_icl_track_fuse_fps",
+            "value": round(mean_fps, 2), "unit": "frames/sec",
+            "vs_baseline": round(mean_fps / 30.0, 3),
+            "median": round(float(np.median(fps)), 2),
+            "best": round(float(np.max(fps)), 2), "passes": len(fps),
+            "resident_fps": round(resident, 2),
+            "frame_ms": round(1e3 / resident, 2)}
+    roofline = Path(__file__).resolve().parent / "BENCH_ROOFLINE.json"
+    if roofline.exists():
+        try:
+            r = json.loads(roofline.read_text())
+            line["stage_ms"] = r.get("stage_ms")
+            for k in ("decoder_mfu", "overall_mfu", "measured_peak_tflops",
+                      "program_gflops_per_frame"):
+                if k in r:
+                    line[k] = r[k]
+        except Exception:
+            pass
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--resident", action="store_true",
-                    help="pre-upload frames; measure pure compute throughput")
-    main(resident=ap.parse_args().resident)
+                    help="measure only the pure-compute (pre-uploaded) rate")
+    main(resident_only=ap.parse_args().resident)

@@ -2,6 +2,7 @@
 equivalence with the dense-indexer map, query validity, and save/load
 (BASELINE config-4 capability: dynamic growth under a fixed-capacity hash)."""
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -94,6 +95,7 @@ def _plane_cloud(n=4000, seed=0, z=0.05):
     return jnp.asarray(pts), jnp.asarray(normals)
 
 
+@pytest.mark.slow
 def test_fusion_matches_dense_map():
     """Same cloud fused into the dense and the hash map must produce the same
     latents per cell (shared fusion semantics)."""
@@ -154,6 +156,7 @@ def test_query_and_save_load(tmp_path):
     np.testing.assert_allclose(np.asarray(state2.latents), np.asarray(state.latents))
 
 
+@pytest.mark.slow
 def test_hash_optimize_latents():
     dec, enc = nets()
     cfg = H.HashMapConfig(voxel_size=0.1, capacity=4096, table_size=1 << 13,

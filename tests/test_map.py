@@ -203,6 +203,7 @@ class TestSaveLoad:
 
 
 class TestOptimize:
+    @pytest.mark.slow
     def test_optimize_decreases_nll(self, nets):
         dec, enc = nets
         cfg = small_cfg(prune_min_vox_obs=0, ignore_count_th=0.0, encoder_count_th=10.0)

@@ -93,6 +93,7 @@ def _sphere_field(world, center=(0.0, 0.0, 0.0), radius=0.6):
 
 class TestMarchingCubes:
     @pytest.mark.parametrize("interpolate", [True, False])
+    @pytest.mark.slow
     def test_sphere_surface(self, interpolate):
         r = 4
         cfg_xyz, indexer, s2b, blocks, world, bmin, voxel = _dense_world(r=r)
@@ -138,6 +139,7 @@ class TestMarchingCubes:
         # closed surface: every edge appears exactly twice
         assert (counts == 2).all()
 
+    @pytest.mark.slow
     def test_max_std_pruning(self):
         r = 4
         cfg_xyz, indexer, s2b, blocks, world, bmin, voxel = _dense_world(r=r)
@@ -161,6 +163,7 @@ class TestMarchingCubes:
         assert res.triangles.shape[1] == 100   # buffer clamped
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint not mounted")
 class TestEndToEndMesh:
@@ -214,6 +217,7 @@ class TestEndToEndMesh:
 
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint not mounted")
+@pytest.mark.slow
 def test_incremental_splice_replaces_stale_triangles():
     """When a voxel's latent changes and it re-meshes, its cached triangles
     must be replaced, not duplicated (reference cache splice,
@@ -265,6 +269,7 @@ def test_incremental_splice_replaces_stale_triangles():
 
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint not mounted")
+@pytest.mark.slow
 def test_fast_mode_matches_dense():
     """Coarse-to-fine "fast" evaluation (reference map.py:644-682) must
     reproduce the dense mesh within tolerance at r=8 while cutting decoder

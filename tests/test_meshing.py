@@ -58,6 +58,7 @@ def _sorted_tris(mesher):
     return flat[order]
 
 
+@pytest.mark.slow
 class TestChunkedEquivalence:
     @pytest.mark.parametrize("fast", [False, True])
     def test_dense_chunked_matches_unchunked(self, tiny_nets, fast):
@@ -109,6 +110,7 @@ class TestChunkedEquivalence:
         np.testing.assert_allclose(b, a, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scale_full_extract_bounded_memory(tiny_nets):
     """Full no_cache extract of a ~30k-voxel hash map completes with a
     bounded per-dispatch budget (VERDICT round 2, item 3: the round-2 driver

@@ -2,6 +2,8 @@
 SDF accuracy against analytic shapes, and the end-to-end LIF generation ->
 training pipeline (BASELINE config-5 analog; capability parity with
 pytorch/sampler_cuda + dataset/training/main_generator.py)."""
+import json
+
 import numpy as np
 import pytest
 
@@ -86,6 +88,7 @@ def test_visibility_culls_interior():
     assert (np.sum(nrm * pts, axis=1) > 0).mean() > 0.99
 
 
+@pytest.mark.slow
 def test_sdf_matches_analytic_sphere():
     mesh = mesh_io.make_sphere(0.5, 32)
     rng = np.random.default_rng(2)
@@ -102,6 +105,7 @@ def test_sdf_matches_analytic_sphere():
     assert (data[:, 3] < 0).mean() > 0.1
 
 
+@pytest.mark.slow
 def test_generator_to_training_end_to_end(tmp_path):
     """Config-5 analog: generate LIF payloads from simple shapes, then run
     train steps on them (sampler -> generator -> dataset -> trainer)."""
@@ -151,6 +155,61 @@ def test_generator_to_training_end_to_end(tmp_path):
     assert float(losses["total"]) < losses0
 
 
+@pytest.mark.slow
+def test_shapenet_generator_mock_tree(tmp_path):
+    """ShapeNetGenerator over a mock ShapeNetCore.v2 layout (BASELINE
+    config-5's named provider; reference shapenet_model.py:11-78):
+    <category>/<id>/models/model_normalized.obj + a valid-list json,
+    through run_generation to LIF payloads a LifDataset can consume."""
+    root = tmp_path / "ShapeNetCore.v2"
+    meshes = {"02691156": [("m0", mesh_io.make_box(0.9, 0.7, 1.1)),
+                           ("m1", mesh_io.make_sphere(0.5, 24))],
+              "03001627": [("c0", mesh_io.make_cylinder(0.4, 1.0, 32))]}
+    for cat, items in meshes.items():
+        for mid, mesh in items:
+            mdir = root / cat / mid / "models"
+            mdir.mkdir(parents=True)
+            # center like the real assets (model_normalized)
+            lo, hi = mesh.bounds()
+            mesh = mesh_io.TriMesh(mesh.vertices - (lo + hi) / 2.0, mesh.faces)
+            mesh_io.save_obj(str(mdir / "model_normalized.obj"), mesh)
+    valid = {"ShapeNetV2": {"02691156": ["m0", "m1"], "03001627": ["c0"]}}
+    (tmp_path / "valid.json").write_text(json.dumps(valid))
+
+    gen = generator.ShapeNetGenerator(
+        shapenet_path=str(root), categories=["02691156", "03001627"],
+        shapes_per_category=[2, -1], scale=[0.6, 0.5],
+        valid_list_path=str(tmp_path / "valid.json"))
+    assert len(gen) == 3
+    path, (half_window, cams), scale = gen[0]
+    assert path.endswith("models/model_normalized.obj")
+    assert half_window == 0.8 and len(cams) == 300
+    assert scale == 0.6
+
+    args = dict_to_args(dict(
+        provider="shapenet_model",
+        provider_kwargs=dict(shapenet_path=str(root),
+                             categories=["02691156", "03001627"],
+                             shapes_per_category=[1, 1], scale=[0.6, 0.5],
+                             valid_list_path=str(tmp_path / "valid.json")),
+        output=str(tmp_path / "lifs"), sampler_count=20000,
+        sampler_var=0.005, voxel_size=0.25, nn_size=2.0, seed=4))
+    cfg = SamplerConfig(num_sample=20000, n_surface_candidates=60000,
+                        zbuffer_res=160)
+    n_lifs = generator.run_generation(args, cfg)
+    assert n_lifs > 3
+
+    from difusion_tpu.train import lif_dataset as ldata
+    ds = ldata.LifDataset(str(tmp_path / "lifs"), num_sample=64,
+                          num_surface_sample=32)
+    samples, surf = ds[0]
+    assert samples.shape == (64, 4) and surf.shape == (32, 6)
+    src = json.loads((tmp_path / "lifs" / "source.json").read_text())
+    assert len(src) == n_lifs
+    assert any("02691156" in s[0] for s in src)
+
+
+@pytest.mark.slow
 def test_reference_methods_2_and_3():
     """Sampler reference modes (PreprocessMesh -r): 2 = raw mesh-normal
     cloud, 3 = external reference points."""

@@ -22,6 +22,8 @@ SPEC_E = EncoderSpec()
 LOSS = LossConfig()
 
 
+pytestmark = pytest.mark.slow
+
 def make_synthetic_lif_dir(path, n_lifs=12, seed=0):
     """Sphere-cap SDFs in voxel-local coords, reference payload format."""
     rng = np.random.default_rng(seed)
