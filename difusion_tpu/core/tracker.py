@@ -482,11 +482,12 @@ def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
 
 
 def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
-              prev: Pyramid, cur_level, delta: Pose,
+              prev: Pyramid, cur_level, prev_tex, delta: Pose,
               rgb_weight: jnp.ndarray):
     """Photometric residual over pyramid level ``level`` (reference
     compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level.
-    ``cur_level`` comes from :func:`_rgb_level_inputs`."""
+    ``cur_level`` comes from :func:`_rgb_level_inputs`; ``prev_tex`` is the
+    level's per-frame :func:`~difusion_tpu.ops.imgproc.warp_texture`."""
     s = 0.5 ** level
     fx, fy = calib.fx * s, calib.fy * s
     cx, cy = (calib.cx + 0.5) * s - 0.5, (calib.cy + 0.5) * s - 0.5
@@ -504,7 +505,8 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
         prev.intensity[level], prev.depth[level], None,
         c_int, c_depth, c_ok, c_grad, c_gok,
         intr, krkinv, kt,
-        tcfg.min_grad_scale, tcfg.max_depth_delta, coord_stride=st)
+        tcfg.min_grad_scale, tcfg.max_depth_delta, coord_stride=st,
+        prev_tex=prev_tex)
 
     f = f.reshape(-1)
     J = J.reshape(-1, 6)
@@ -558,13 +560,21 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     in-jit so a tracked frame costs zero host round-trips."""
     last = Pose(last_R, last_t)
 
-    # strided current-frame inputs per rgb level, ONCE per frame (outside
-    # the iteration while_loops -- see _rgb_level_inputs)
+    # strided current-frame inputs AND the previous frame's packed warp
+    # texture per rgb level, ONCE per frame (outside the iteration
+    # while_loops -- see _rgb_level_inputs).  The texture hoist is small
+    # (~0.1-0.3 ms/frame: the round-3 trace showed the build executing per
+    # GN iteration, but XLA fuses it cheaply) -- kept because it makes the
+    # loop-invariance explicit
     rgb_levels = {int(term[1])
                   for _, terms in tcfg.iter_config
                   for term in terms if term[0] == "rgb"}
     cur_levels = {lvl: _rgb_level_inputs(tcfg, cur.pyramid, lvl)
                   for lvl in sorted(rgb_levels)}
+    prev_texs = {lvl: jax.lax.optimization_barrier(
+                     imgproc.warp_texture(prev.intensity[lvl],
+                                          prev.depth[lvl]))
+                 for lvl in sorted(rgb_levels)}
 
     def eval_Hg(delta: Pose, terms, is_last_group: bool):
         H = jnp.zeros((6, 6), jnp.float32)
@@ -583,7 +593,8 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                                        compute_dtype=sdf_dtype)
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
-                                       cur_levels[int(term[1])], delta,
+                                       cur_levels[int(term[1])],
+                                       prev_texs[int(term[1])], delta,
                                        rgb_weight)
             else:
                 raise ValueError(f"unknown GN term {term!r}")

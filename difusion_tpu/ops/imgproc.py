@@ -256,6 +256,23 @@ def gradient_xy(intensity: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return grad, ok
 
 
+def warp_texture(prev_intensity: jnp.ndarray,
+                 prev_depth: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 8) packed warp texture for :func:`rgb_odometry`: the 4 bilinear
+    intensity taps and 4 depth neighbors of every pixel, so the warp needs
+    ONE gather per target pixel.  Rolls wrap at the border, but a wrapped
+    tap always carries interpolation weight exactly 0 (lookup coords are
+    clipped to w-1, so au = 0 whenever ui+1 would wrap; same for v), and the
+    wrapped depth tap is never the nearest for the same reason."""
+    i_r = jnp.roll(prev_intensity, -1, axis=1)
+    i_d = jnp.roll(prev_intensity, -1, axis=0)
+    d_r = jnp.roll(prev_depth, -1, axis=1)
+    d_d = jnp.roll(prev_depth, -1, axis=0)
+    return jnp.stack([prev_intensity, i_r, i_d, jnp.roll(i_d, -1, axis=1),
+                      prev_depth, d_r, d_d, jnp.roll(d_d, -1, axis=1)],
+                     axis=-1)                                     # (H, W, 8)
+
+
 def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
                  prev_depth_ok: jnp.ndarray,
                  cur_intensity: jnp.ndarray, cur_depth: jnp.ndarray,
@@ -263,7 +280,8 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
                  cur_dIdxy: jnp.ndarray, grad_ok: jnp.ndarray,
                  intr: jnp.ndarray, krkinv: jnp.ndarray, kt: jnp.ndarray,
                  min_grad_scale: float, max_depth_delta: float,
-                 bilinear: bool = True, coord_stride: int = 1
+                 bilinear: bool = True, coord_stride: int = 1,
+                 prev_tex: jnp.ndarray = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-pixel photometric residual + analytic 6-DoF Jacobian
     (photometric.cu:24-77).  Warps the *current* pixel into the previous frame
@@ -285,6 +303,12 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
     previous frame stays full-res for lookups.  Random gathers are the TPU
     bottleneck of this op, and a strided residual subset is an unbiased
     subsample of the normal equations.
+
+    ``prev_tex``: optionally the precomputed :func:`warp_texture` of the
+    previous frame.  The texture is iteration-invariant, but XLA does not
+    hoist its construction (6 rolls + a 10 MB stack at 480x640) out of the
+    GN ``while_loop`` -- callers that iterate should build it once per
+    frame and pass it in.
     """
     h, w = prev_intensity.shape        # lookup/bounds resolution
     hc, wc = cur_intensity.shape
@@ -320,18 +344,9 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
         # of a packed 8-channel texture (profiled: the warp's random gathers
         # are the bulk of an L0 GN iteration on TPU; 2 gathers -> 1).  The
         # nearest-pixel depth (reference round(), photometric.cu:53-55) is
-        # recovered by selecting the tap on the au/av >= 0.5 side.  Rolls
-        # wrap at the border, but a wrapped tap always carries interpolation
-        # weight exactly 0 (u0a is clipped to w-1, so au = 0 whenever ui+1
-        # would wrap; same for v), and the wrapped depth tap is never the
-        # nearest for the same reason.
-        i_r = jnp.roll(prev_intensity, -1, axis=1)
-        i_d = jnp.roll(prev_intensity, -1, axis=0)
-        d_r = jnp.roll(prev_depth, -1, axis=1)
-        d_d = jnp.roll(prev_depth, -1, axis=0)
-        tex = jnp.stack([prev_intensity, i_r, i_d, jnp.roll(i_d, -1, axis=1),
-                         prev_depth, d_r, d_d, jnp.roll(d_d, -1, axis=1)],
-                        axis=-1)                                  # (H, W, 8)
+        # recovered by selecting the tap on the au/av >= 0.5 side.
+        tex = prev_tex if prev_tex is not None \
+            else warp_texture(prev_intensity, prev_depth)
         taps = tex[vi, ui]                                        # (hc, wc, 8)
         prev_val = ((1 - av) * ((1 - au) * taps[..., 0] + au * taps[..., 1])
                     + av * ((1 - au) * taps[..., 2] + au * taps[..., 3]))

@@ -370,7 +370,10 @@ class SLAMSystem:
             pyramid=tr.last_pyramid, pts_cam=last_pts, normals_cam=last_nrm,
             pc_mask=last_mask)
         tr.append_pose_chunk(Rs, ts)
-        if self.mesher is not None and bool(np.any(np.asarray(do_integrate))):
+        # honor the meshing schedule like the per-frame path (one extract
+        # after the chunk when any frame in it hits the interval)
+        if self.mesher is not None and any(
+                (start + k) % self.meshing_interval == 0 for k in range(K)):
             self.state = self.mesher.extract(self.state,
                                              max_std=self.mesh_max_std)
         return tr.last_pose
