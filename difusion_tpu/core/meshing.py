@@ -245,7 +245,8 @@ class _MeshExtractorBase:
                  voxel_resolution: int = 4, max_triangles: int = 1 << 20,
                  interpolate: bool = True, fast: bool = False,
                  refine_fraction: float = 0.2,
-                 max_eval_points: int = 1 << 20):
+                 max_eval_points: int = 1 << 20,
+                 shard: bool = False):
         self.dec_params = dec_params
         self.spec = spec
         self.r = int(voxel_resolution)
@@ -259,6 +260,20 @@ class _MeshExtractorBase:
         # max_sample chunking, network/utility.py:84-117): a full no_cache
         # extract of an arbitrarily large map runs in bounded memory
         self.max_eval_points = int(max_eval_points)
+        # shard=True spreads each decoder-eval chunk's block rows over ALL
+        # visible devices (1-D jax.sharding mesh): the lattice decode is
+        # embarrassingly parallel over blocks, so offline high-res meshing
+        # scales across chips; the lattice buffers re-replicate (one
+        # all-gather per chunk) before marching cubes
+        self.shard = bool(shard)
+        self._row_sharding = self._replicated = None
+        if self.shard:
+            devs = jax.devices()
+            if len(devs) > 1:
+                mesh = jax.sharding.Mesh(np.array(devs), ("b",))
+                P = jax.sharding.PartitionSpec
+                self._row_sharding = jax.sharding.NamedSharding(mesh, P("b"))
+                self._replicated = jax.sharding.NamedSharding(mesh, P())
         # host<->device traffic of the last extract, excluding the triangle
         # output itself (asserted small in tests/test_meshing.py)
         self.last_transfer_bytes = 0
@@ -331,6 +346,9 @@ class _MeshExtractorBase:
         parts_sdf, parts_std = [], []
         for s0 in range(0, B, C):
             sl = jax.lax.dynamic_slice_in_dim(slot_pad_d, s0, C)
+            if self._row_sharding is not None and \
+                    C % self._row_sharding.mesh.size == 0:
+                sl = jax.device_put(sl, self._row_sharding)
             if self.fast:
                 cs, ct = _eval_and_negate_fast(self.dec_params, self.spec,
                                                state.latents, sl, self.r,
@@ -338,6 +356,11 @@ class _MeshExtractorBase:
             else:
                 cs, ct = _eval_and_negate(self.dec_params, self.spec,
                                           state.latents, sl, self.r)
+            if self._replicated is not None:
+                # re-replicate before MC (its corner blending gathers
+                # arbitrary neighbor rows)
+                cs = jax.device_put(cs, self._replicated)
+                ct = jax.device_put(ct, self._replicated)
             parts_sdf.append(cs)
             parts_std.append(ct)
         cube_sdf = parts_sdf[0] if len(parts_sdf) == 1 else jnp.concatenate(parts_sdf)

@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--refine-fraction", type=float, default=0.2,
                         help="--fast: fraction of (2r)^3 sites re-evaluated "
                              "exactly per block")
+    parser.add_argument("--shard", action="store_true",
+                        help="shard the decoder lattice evaluation over all "
+                             "visible devices (multi-chip offline meshing)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -49,7 +52,8 @@ def main(argv=None):
     kw = dict(voxel_resolution=args.resolution,
               max_triangles=args.max_triangles,
               interpolate=not args.no_interpolate,
-              fast=args.fast, refine_fraction=args.refine_fraction)
+              fast=args.fast, refine_fraction=args.refine_fraction,
+              shard=args.shard)
     if is_hash:
         cfg, state = HM.load_map(args.map)
         mesher = HashMeshExtractor(cfg, dec, spec, **kw)

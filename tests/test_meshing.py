@@ -152,6 +152,25 @@ def test_scale_full_extract_bounded_memory(tiny_nets):
         mesher.last_transfer_bytes
 
 
+def test_sharded_extract_matches_single_device(tiny_nets):
+    """shard=True spreads decoder-eval chunks over the 8-device CPU mesh;
+    the mesh must match the single-device extract exactly (multi-chip
+    offline meshing surface, mesh_tool --shard)."""
+    dec, enc = tiny_nets
+    cfg, state = _dense_plane_state(enc)
+    single = MeshExtractor(cfg, dec, SPEC, voxel_resolution=2,
+                           max_triangles=1 << 16, max_eval_points=1 << 14)
+    single.extract(state, max_std=100.0)
+    sharded = MeshExtractor(cfg, dec, SPEC, voxel_resolution=2,
+                            max_triangles=1 << 16, max_eval_points=1 << 14,
+                            shard=True)
+    assert sharded._row_sharding is not None   # 8-device CPU mesh active
+    sharded.extract(state, max_std=100.0)
+    a, b = _sorted_tris(single), _sorted_tris(sharded)
+    assert len(a) > 100
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
 def test_dense_transfer_accounting(tiny_nets):
     """Per-extract host traffic for the dense backend stays under 1 MB at
     2^16 capacity (VERDICT round 2, item 5): one scalar + n live rows + the
