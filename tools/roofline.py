@@ -271,6 +271,8 @@ def main(argv=None):
     except Exception as e:
         print(f"HLO classification unavailable: {e}", flush=True)
 
+    import shutil
+    shutil.rmtree(args.trace_dir, ignore_errors=True)   # only THIS run's trace
     with jax.profiler.trace(args.trace_dir):
         for c in dev_chunks:
             system.process_chunk(c, h, w)
