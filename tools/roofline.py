@@ -16,7 +16,12 @@ Methodology (each piece chosen to survive the quirks it replaces):
    vjp-through-decoder at the production batch size, with analytic matmul
    FLOPs from the layer dims (forward ``2 N sum(in*out)`` + the same again
    for the input-cotangent matmuls).  XLA's ``cost_analysis`` counts while
-   bodies once and is useless for an iterative tracker.
+   bodies once and is useless for an iterative tracker.  CAVEAT: on the
+   tunneled axon runtime every thunk streams individually, so small
+   iterative programs pay per-op overhead a local TPU host would not (a
+   131k-point trace shows ~0.11 ms/eval of device matmul time inside a
+   2.6 ms wall) -- the reported decoder_mfu is a LOWER bound set by the
+   transport, not by the kernels.
 
 Writes BENCH_ROOFLINE.json at the repo root (bench.py merges it into its
 one-line output) and prints the table.
