@@ -473,7 +473,7 @@ def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
     hoist them out of the GN ``while_loop`` (profiled: ~2 ms/frame of
     re-sliced loop-invariant data) -- so the caller precomputes them outside
     the iteration loops and threads them in."""
-    st = tcfg.rgb_stride[level]
+    st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
     sub = partial(imgproc.subsample2d, s=st)
     return jax.lax.optimization_barrier(
         (sub(cur.intensity[level]), sub(cur.depth[level]),
@@ -499,7 +499,7 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     kt = K @ delta.t
     intr = jnp.array([fx, fy, cx, cy])
 
-    st = tcfg.rgb_stride[level]
+    st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
     c_int, c_depth, c_ok, c_grad, c_gok = cur_level
     f, J, ok = imgproc.rgb_odometry(
         prev.intensity[level], prev.depth[level], None,
