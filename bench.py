@@ -35,11 +35,13 @@ CHUNK = 12
 PASSES = 8
 
 
-def build_system(n_chunks: int = 3, point_budget: int = 1 << 13):
+def build_system(n_chunks: int = 3, point_budget: int = 1 << 13,
+                 tcfg_overrides: dict = None):
     """Build the benchmark SLAM system, pre-render + pack the frames, and
     warm up (frame 0 set-pose path + one compiled chunk).  Returns
     (system, bench_chunks, h, w) with bench_chunks a list of ``n_chunks``
-    host-packed (CHUNK, L) uint8 stacks."""
+    host-packed (CHUNK, L) uint8 stacks.  ``tcfg_overrides`` replaces
+    TrackerConfig fields (e.g. the bf16/stride-2 speed opt-ins)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,7 +76,7 @@ def build_system(n_chunks: int = 3, point_budget: int = 1 << 13):
                           voxel_size=0.1, latent_dim=spec_d.latent_size,
                           capacity=1 << 16, prune_min_vox_obs=16,
                           ignore_count_th=16.0, encoder_count_th=600.0)
-    tcfg = TrackerConfig(point_budget=point_budget)
+    tcfg = TrackerConfig(point_budget=point_budget, **(tcfg_overrides or {}))
     system = SLAMSystem(map_cfg, tcfg, dec, enc, spec_d, calib,
                         integrate_interval=20, depth_cut=(0.5, 5.0),
                         meshing=False)
@@ -174,13 +176,23 @@ def main(resident_only: bool = False):
     res_fps = measure_resident(system, bench_chunks, h, w, passes=4)
     resident = float(np.mean(res_fps))
 
+    # the bf16/stride-2 speed opt-in's pure-compute rate, for the record
+    # (accuracy table in README/ACCURACY_r03.json: within the run-to-run
+    # sensitivity band of the defaults)
+    speed_sys, speed_chunks, _, _ = build_system(
+        n_chunks=3, tcfg_overrides=dict(rgb_stride=(2, 2, 2),
+                                        sdf_compute_dtype="bfloat16"))
+    sp = measure_resident(speed_sys, speed_chunks, h, w, passes=3)
+    speed_resident = float(np.mean(sp))
+
     line = {"metric": "synthetic_icl_track_fuse_fps",
             "value": round(mean_fps, 2), "unit": "frames/sec",
             "vs_baseline": round(mean_fps / 30.0, 3),
             "median": round(float(np.median(fps)), 2),
             "best": round(float(np.max(fps)), 2), "passes": len(fps),
             "resident_fps": round(resident, 2),
-            "frame_ms": round(1e3 / resident, 2)}
+            "frame_ms": round(1e3 / resident, 2),
+            "speed_config_resident_fps": round(speed_resident, 2)}
     roofline = Path(__file__).resolve().parent / "BENCH_ROOFLINE.json"
     if roofline.exists():
         try:
