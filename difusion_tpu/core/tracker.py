@@ -91,6 +91,14 @@ class TrackerConfig(NamedTuple):
     # subsample on the synthetic sequences and slower (the tile relayouts
     # outweigh the saved gather rows), so plain strides stay.
     rgb_stride: Tuple[int, ...] = (1, 1, 1)
+    # warp the photometric term through the block-tiled texture
+    # (ops/imgproc.warp_texture_tiled): one gather row per 2x2 pixel block
+    # instead of per pixel -- 4x fewer rows on the frame's top roofline
+    # line item.  Bit-exact bilinear for every pixel it keeps; pixels whose
+    # block footprint straddles a depth discontinuity are dropped from the
+    # normal equations instead.  Only applies to stride-1 levels (the
+    # accuracy default); strided levels keep the per-pixel texture.
+    warp_tiled: bool = False
     # depth observation range (reference main.py:67-68, configs yaml:20-21)
     depth_cut_min: float = 0.5
     depth_cut_max: float = 5.0
@@ -152,6 +160,7 @@ class TrackerConfig(NamedTuple):
             motion_prior=str(getattr(args, "motion_prior", d["motion_prior"])),
             lossless_packing=bool(getattr(args, "lossless_packing",
                                           d["lossless_packing"])),
+            warp_tiled=bool(getattr(args, "warp_tiled", d["warp_tiled"])),
         )
 
 
@@ -467,12 +476,28 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
     return H, g, energy
 
 
+def _level_tiled(tcfg: TrackerConfig, cur: Pyramid, level: int) -> bool:
+    """Whether this pyramid level's photometric term runs the block-tiled
+    warp (one gather row per 2x2 pixel block): opted in, stride 1, and even
+    dims.  Strided levels keep the per-pixel texture (a strided pixel subset
+    has no 2x2 footprint locality)."""
+    st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
+    h, w = cur.intensity[level].shape
+    return tcfg.warp_tiled and st == 1 and h % 2 == 0 and w % 2 == 0
+
+
 def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
-    """Strided current-frame inputs for one pyramid level, computed ONCE per
-    frame.  Strided slices lower to per-row gathers on TPU and XLA does not
-    hoist them out of the GN ``while_loop`` (profiled: ~2 ms/frame of
-    re-sliced loop-invariant data) -- so the caller precomputes them outside
-    the iteration loops and threads them in."""
+    """Current-frame inputs for one pyramid level, computed ONCE per frame:
+    the 2x2 parity-plane split for tiled-warp levels, or the stride-s
+    subsample otherwise.  Strided slices lower to per-row gathers on TPU and
+    XLA does not hoist them out of the GN ``while_loop`` (profiled:
+    ~2 ms/frame of re-sliced loop-invariant data) -- so the caller
+    precomputes them outside the iteration loops and threads them in."""
+    if _level_tiled(tcfg, cur, level):
+        return jax.lax.optimization_barrier(
+            imgproc.make_tiled_frame_planes(
+                cur.intensity[level], cur.depth[level], cur.depth_ok[level],
+                cur.grad[level], cur.grad_ok[level]))
     st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
     sub = partial(imgproc.subsample2d, s=st)
     return jax.lax.optimization_barrier(
@@ -487,7 +512,10 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     """Photometric residual over pyramid level ``level`` (reference
     compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level.
     ``cur_level`` comes from :func:`_rgb_level_inputs`; ``prev_tex`` is the
-    level's per-frame :func:`~difusion_tpu.ops.imgproc.warp_texture`."""
+    level's per-frame ``(kind, texture)`` pair -- ``"tiled"`` for the
+    block-tiled :func:`~difusion_tpu.ops.imgproc.warp_texture_tiled`,
+    ``"packed"`` for the per-pixel
+    :func:`~difusion_tpu.ops.imgproc.warp_texture`."""
     s = 0.5 ** level
     fx, fy = calib.fx * s, calib.fy * s
     cx, cy = (calib.cx + 0.5) * s - 0.5, (calib.cy + 0.5) * s - 0.5
@@ -499,6 +527,22 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     kt = K @ delta.t
     intr = jnp.array([fx, fy, cx, cy])
 
+    tex_kind, tex = prev_tex
+    if tex_kind == "tiled":
+        f3, J3, ok3 = imgproc.rgb_odometry_tiled(
+            cur_level, tex, intr, krkinv, kt,
+            tcfg.min_grad_scale, tcfg.max_depth_delta)
+        f = f3.reshape(-1)
+        Jn = J3.reshape(6, -1)                          # (6, N)
+        okf = ok3.reshape(-1)
+        w = jnp.where(okf, _robust_weight(f, tcfg.rgb_robust_kernel,
+                                          tcfg.rgb_robust_k), 0.0)
+        scale = rgb_weight / jnp.maximum(okf.sum(), 1).astype(f.dtype)
+        H = jnp.einsum("an,bn->ab", Jn * w[None, :], Jn) * scale
+        g = jnp.sum(Jn * (w * f)[None, :], axis=1) * scale
+        energy = jnp.sum(w * f * f) * scale
+        return H, g, energy
+
     st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
     c_int, c_depth, c_ok, c_grad, c_gok = cur_level
     f, J, ok = imgproc.rgb_odometry(
@@ -506,7 +550,7 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
         c_int, c_depth, c_ok, c_grad, c_gok,
         intr, krkinv, kt,
         tcfg.min_grad_scale, tcfg.max_depth_delta, coord_stride=st,
-        prev_tex=prev_tex)
+        prev_tex=tex)
 
     f = f.reshape(-1)
     J = J.reshape(-1, 6)
@@ -571,10 +615,16 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                   for term in terms if term[0] == "rgb"}
     cur_levels = {lvl: _rgb_level_inputs(tcfg, cur.pyramid, lvl)
                   for lvl in sorted(rgb_levels)}
-    prev_texs = {lvl: jax.lax.optimization_barrier(
-                     imgproc.warp_texture(prev.intensity[lvl],
-                                          prev.depth[lvl]))
-                 for lvl in sorted(rgb_levels)}
+
+    def _tex(lvl):
+        if _level_tiled(tcfg, cur.pyramid, lvl):
+            return ("tiled", jax.lax.optimization_barrier(
+                imgproc.warp_texture_tiled(prev.intensity[lvl],
+                                           prev.depth[lvl])))
+        return ("packed", jax.lax.optimization_barrier(
+            imgproc.warp_texture(prev.intensity[lvl], prev.depth[lvl])))
+
+    prev_texs = {lvl: _tex(lvl) for lvl in sorted(rgb_levels)}
 
     def eval_Hg(delta: Pose, terms, is_last_group: bool):
         H = jnp.zeros((6, 6), jnp.float32)

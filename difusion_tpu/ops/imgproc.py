@@ -273,6 +273,215 @@ def warp_texture(prev_intensity: jnp.ndarray,
                      axis=-1)                                     # (H, W, 8)
 
 
+def _space_to_depth_filter(window: int, stride: int,
+                           n_ch: int) -> np.ndarray:
+    """One-hot conv filter (window, window, n_ch, window*window*n_ch*?) that
+    extracts, at every output position, the full window x window x n_ch
+    patch as channels: out ch ``(r*window + c)*n_ch + ch`` = input pixel
+    ``(stride*a + r, stride*b + c)`` channel ``ch``.  Space-to-depth as ONE
+    MXU convolution -- the layout-transpose formulations of the same
+    reshuffle cost ~15 ms at 480x640 on TPU (minor-dim-2 relayouts pad to
+    the (8, 128) tile); the conv costs ~0.1 ms."""
+    k = window * window * n_ch
+    filt = np.zeros((window, window, n_ch, k), np.float32)
+    for r in range(window):
+        for c in range(window):
+            for ch in range(n_ch):
+                filt[r, c, ch, (r * window + c) * n_ch + ch] = 1.0
+    return filt
+
+
+def _patches(img: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """(H/stride, W/stride, window*window*C) strided patch extraction of an
+    (H, W, C) image via the one-hot conv (zero padding past the border).
+    Exact: each output element is a 1.0*x + 0*... f32 accumulation
+    (precision HIGHEST keeps the MXU in full f32)."""
+    h, w, n_ch = img.shape
+    filt = jnp.asarray(_space_to_depth_filter(window, stride, n_ch))
+    out = jax.lax.conv_general_dilated(
+        img[None], filt, (stride, stride),
+        padding=((0, window - stride), (0, window - stride)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0]
+
+
+def warp_texture_tiled(prev_intensity: jnp.ndarray,
+                       prev_depth: jnp.ndarray) -> jnp.ndarray:
+    """(H/2, W/2, 50) block-tiled warp texture: row ``[a, b]`` is the 5x5x2
+    image patch with top-left corner at pixel ``(2a, 2b)`` -- channel
+    ``(r*5+c)*2 + ch`` is image channel ``ch`` (0=intensity, 1=depth) at
+    pixel ``(2a+r, 2b+c)`` (zeros past the border).
+
+    Rationale: TPU gathers cost ~flat per ROW, nearly nothing per byte, and
+    the per-iteration warp gather is the roofline's top line item at rgb
+    stride 1 (5.7 of the 11.3 ms frame).  One row of this texture covers
+    the bilinear footprints of a whole 2x2 block of target pixels for any
+    EVEN window start (:func:`rgb_odometry_tiled` rounds the start down to
+    even; the 5-wide window still leaves slack for a floor-coordinate
+    spread of 2-3 across the block), so the warp needs ONE gather row per
+    block -- 4x fewer rows than the per-pixel 8-channel
+    :func:`warp_texture`.  Built as one one-hot 5x5 stride-2 convolution
+    (space-to-depth on the MXU, ~0.4 ms at 480x640; the transpose/reshape
+    formulation of the same layout costs ~15 ms -- minor dims of 2 pad to
+    the (8, 128) tile).  Border zeros are only ever read with
+    interpolation weight exactly 0 (lookup coords are clipped)."""
+    h, w = prev_intensity.shape
+    assert h % 2 == 0 and w % 2 == 0, "tiled warp texture needs even dims"
+    img2 = jnp.stack([prev_intensity, prev_depth], axis=-1)        # (h, w, 2)
+    return _patches(img2, window=5, stride=2)           # (H2, W2, 50)
+
+
+class TiledFramePlanes(NamedTuple):
+    """Parity-plane split of one pyramid level's current-frame inputs for
+    :func:`rgb_odometry_tiled`: plane ``P = p*2 + q`` of array ``X`` holds
+    ``X[p::2, q::2]`` -- i.e. entry ``[P, a, b]`` is pixel
+    ``(2a+p, 2b+q)``.  All arrays are (4, H/2, W/2); masks ride as f32
+    0/1 through the split conv and are re-thresholded."""
+    intensity: jnp.ndarray
+    depth: jnp.ndarray
+    depth_ok: jnp.ndarray
+    grad_x: jnp.ndarray
+    grad_y: jnp.ndarray
+    grad_ok: jnp.ndarray
+
+
+def make_tiled_frame_planes(intensity: jnp.ndarray, depth: jnp.ndarray,
+                            depth_ok: jnp.ndarray, grad: jnp.ndarray,
+                            grad_ok: jnp.ndarray) -> TiledFramePlanes:
+    """Split a level's current-frame inputs into 2x2 parity planes with one
+    one-hot conv (see :func:`_space_to_depth_filter` for why not reshapes).
+    Computed once per frame -- everything downstream of it in the GN
+    iteration is elementwise over (4, H/2, W/2) grids."""
+    h, w = intensity.shape
+    assert h % 2 == 0 and w % 2 == 0
+    f32 = intensity.dtype
+    stacked = jnp.stack([intensity, depth, depth_ok.astype(f32),
+                         grad[..., 0], grad[..., 1],
+                         grad_ok.astype(f32)], axis=-1)            # (h, w, 6)
+    pat = _patches(stacked, window=2, stride=2)         # (H2, W2, 24)
+    # channel (p*2 + q)*6 + c; transpose the 24 planes to leading so every
+    # materialized array downstream keeps (H2, W2) minor dims (unpadded)
+    pl = jnp.transpose(pat, (2, 0, 1)).reshape(4, 6, h // 2, w // 2)
+    return TiledFramePlanes(intensity=pl[:, 0], depth=pl[:, 1],
+                            depth_ok=pl[:, 2] > 0.5,
+                            grad_x=pl[:, 3], grad_y=pl[:, 4],
+                            grad_ok=pl[:, 5] > 0.5)
+
+
+def rgb_odometry_tiled(planes: TiledFramePlanes, tex: jnp.ndarray,
+                       intr: jnp.ndarray, krkinv: jnp.ndarray,
+                       kt: jnp.ndarray,
+                       min_grad_scale: float, max_depth_delta: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Block-tiled :func:`rgb_odometry` (stride 1, bilinear): the previous
+    frame is sampled through the (H2, W2, 50) :func:`warp_texture_tiled`
+    texture with ONE gather row per 2x2 pixel block.  Shapes differ from
+    ``rgb_odometry`` -- inputs are the parity planes of
+    :func:`make_tiled_frame_planes`, outputs are ``f (4, H2, W2)``,
+    ``J (6, 4, H2, W2)``, ``ok (4, H2, W2)`` in the same plane order (a
+    pure re-indexing of the pixel set; the tracker's normal-equation sums
+    are order-free).
+
+    Per kept pixel the residual and Jacobian are BIT-EXACT vs
+    ``rgb_odometry(..., bilinear=True, coord_stride=1)``; a pixel is
+    additionally dropped (``ok`` False) when its 2x2 block's four bilinear
+    footprints do not fit a common even-aligned 5x5 window -- blocks
+    straddling strong depth discontinuities, where the ``max_depth_delta``
+    gate already culls aggressively."""
+    _, H2, W2 = planes.intensity.shape
+    h, w = 2 * H2, 2 * W2
+    dt = planes.depth.dtype
+
+    # full-res pixel coords of each plane entry: (2a + p, 2b + q)
+    p_ = jnp.asarray([0, 0, 1, 1], dt)[:, None, None]
+    q_ = jnp.asarray([0, 1, 0, 1], dt)[:, None, None]
+    u = 2.0 * jnp.arange(W2, dtype=dt)[None, None, :] + q_         # (4,H2,W2)
+    v = 2.0 * jnp.arange(H2, dtype=dt)[None, :, None] + p_
+
+    m2 = planes.grad_x ** 2 + planes.grad_y ** 2
+    ok = planes.grad_ok & (m2 >= min_grad_scale) & planes.depth_ok
+
+    d1 = jnp.where(planes.depth_ok, planes.depth, 0.0)
+    wz = d1 * (krkinv[2, 0] * u + krkinv[2, 1] * v + krkinv[2, 2]) + kt[2]
+    wz_safe = jnp.where(jnp.abs(wz) > 1e-12, wz, 1.0)
+    u0f = (d1 * (krkinv[0, 0] * u + krkinv[0, 1] * v + krkinv[0, 2]) + kt[0]) / wz_safe
+    v0f = (d1 * (krkinv[1, 0] * u + krkinv[1, 1] * v + krkinv[1, 2]) + kt[1]) / wz_safe
+    u0 = jnp.round(u0f).astype(jnp.int32)
+    v0 = jnp.round(v0f).astype(jnp.int32)
+    inside = (u0 >= 0) & (u0 < w) & (v0 >= 0) & (v0 < h)
+    u0c = jnp.clip(u0, 0, w - 1)
+    v0c = jnp.clip(v0, 0, h - 1)
+
+    u0a = jnp.clip(u0f, 0.0, w - 1.0)
+    v0a = jnp.clip(v0f, 0.0, h - 1.0)
+    uf = jnp.floor(u0a)
+    vf = jnp.floor(v0a)
+    au = u0a - uf
+    av = v0a - vf
+    ui = uf.astype(jnp.int32)
+    vi = vf.astype(jnp.int32)
+
+    # shared window base per block: masked min of the 4 floor coords,
+    # rounded DOWN to even so the base addresses a texture row directly
+    # (the 5-wide window still covers a floor spread of 2-3)
+    cand = ok & inside
+    big = jnp.int32(1) << 20
+    s_u = jnp.clip(jnp.min(jnp.where(cand, ui, big), axis=0), 0, w - 2) & ~1
+    s_v = jnp.clip(jnp.min(jnp.where(cand, vi, big), axis=0), 0, h - 2) & ~1
+
+    row = (s_v >> 1) * W2 + (s_u >> 1)                             # (H2, W2)
+    tile = jnp.take(tex.reshape(H2 * W2, 50), row.reshape(-1),
+                    axis=0).reshape(H2, W2, 50)
+
+    ru = ui - s_u[None]
+    rv = vi - s_v[None]
+    fits = cand & (ru <= 3) & (rv <= 3)            # ru/rv >= 0 for cand
+    ru = jnp.clip(ru, 0, 3)
+    rv = jnp.clip(rv, 0, 3)
+
+    # unrolled 5x5 window accumulation.  Row/col weights are exactly
+    # (1-a) at the floor tap, a at floor+1 and literal 0.0 elsewhere, so
+    # the sums reproduce rgb_odometry's ((1-au)*t0 + au*t1) bit-for-bit
+    # (x + 0.0 == x); border zeros in the texture only meet weight 0.
+    su = au >= 0.5
+    sv = av >= 0.5
+    iu = ru + su
+    iv = rv + sv
+    prev_val = jnp.zeros_like(au)
+    d0 = jnp.zeros_like(d1)
+    for r in range(5):
+        wv_r = jnp.where(rv == r, 1.0 - av, jnp.where(rv + 1 == r, av, 0.0))
+        inner = jnp.zeros_like(au)
+        for c in range(5):
+            t_i = tile[..., (r * 5 + c) * 2]                       # (H2, W2)
+            wu_c = jnp.where(ru == c, 1.0 - au,
+                             jnp.where(ru + 1 == c, au, 0.0))
+            inner = inner + wu_c * t_i
+        prev_val = prev_val + wv_r * inner
+        for c in range(5):
+            t_d = tile[..., (r * 5 + c) * 2 + 1]
+            d0 = d0 + jnp.where((iv == r) & (iu == c), t_d, 0.0)
+
+    ok = (ok & inside & fits & (jnp.abs(wz - d0) <= max_depth_delta)
+          & (d0 > 0.0))
+    f = jnp.where(ok, planes.intensity - prev_val, 0.0)
+
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    gz = jnp.where(d0 > 1e-12, d0, 1.0)
+    gx = d0 * (u0c.astype(dt) - cx) / fx
+    gy = d0 * (v0c.astype(dt) - cy) / fy
+    p0 = planes.grad_x * fx / gz
+    p1 = planes.grad_y * fy / gz
+    p2 = -(p0 * gx + p1 * gy) / gz
+    J = jnp.stack([p0, p1, p2,
+                   -gz * p1 + gy * p2,
+                   gz * p0 - gx * p2,
+                   -gy * p0 + gx * p1], axis=0)    # (6, 4, H2, W2)
+    J = jnp.where(ok[None], -J, 0.0)   # tracker-side negation folded in
+    return f, J, ok
+
+
 def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
                  prev_depth_ok: jnp.ndarray,
                  cur_intensity: jnp.ndarray, cur_depth: jnp.ndarray,
@@ -309,6 +518,9 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
     hoist its construction (6 rolls + a 10 MB stack at 480x640) out of the
     GN ``while_loop`` -- callers that iterate should build it once per
     frame and pass it in.
+
+    See :func:`rgb_odometry_tiled` for the block-tiled variant that cuts
+    the gather rows 4x (the op's TPU bottleneck) at stride 1.
     """
     h, w = prev_intensity.shape        # lookup/bounds resolution
     hc, wc = cur_intensity.shape

@@ -177,6 +177,65 @@ def test_rgb_odometry_jacobian_finite_difference():
         assert np.isclose(pred, num, rtol=0.3, atol=5e-3), (k, pred, num)
 
 
+def test_rgb_odometry_tiled_matches_packed():
+    """The block-tiled warp texture path must agree with the per-pixel packed
+    path bit-for-bit on every pixel it keeps, keep the overwhelming majority
+    of pixels under a realistic warp, and only ever DROP pixels (never add)."""
+    from difusion_tpu.utils.motion import Isometry
+    rng = np.random.default_rng(11)
+    h, w = 48, 64
+    fx = fy = 40.0
+    cx, cy = w / 2.0, h / 2.0
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    prev_i = (np.sin(uu / 3.0) * np.cos(vv / 4.0)
+              + 0.05 * rng.normal(size=(h, w))).astype(np.float32)
+    cur_i = np.roll(prev_i, (1, 1), axis=(0, 1))
+    # smooth depth with a hard step (a depth discontinuity exercises the
+    # block-divergence invalidation)
+    depth = (2.0 + 0.2 * np.sin(uu / 5.0)).astype(np.float32)
+    depth[:, 40:] += 1.5
+    ok = np.ones((h, w), bool)
+    grad, gok = imgproc.gradient_xy(jnp.asarray(cur_i))
+    intr = jnp.asarray([fx, fy, cx, cy])
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    delta = Isometry.from_twist(np.array([0.02, -0.015, 0.01,
+                                          0.004, -0.003, 0.006]))
+    krkinv = jnp.asarray(K @ delta.q.rotation_matrix @ np.linalg.inv(K))
+    kt = jnp.asarray(K @ delta.t)
+
+    kw = dict(min_grad_scale=0.0, max_depth_delta=0.5)
+    f_p, J_p, ok_p = imgproc.rgb_odometry(
+        jnp.asarray(prev_i), jnp.asarray(depth), None,
+        jnp.asarray(cur_i), jnp.asarray(depth), jnp.asarray(ok),
+        grad, gok, intr, krkinv, kt, **kw,
+        prev_tex=imgproc.warp_texture(jnp.asarray(prev_i),
+                                      jnp.asarray(depth)))
+    planes = imgproc.make_tiled_frame_planes(
+        jnp.asarray(cur_i), jnp.asarray(depth), jnp.asarray(ok), grad, gok)
+    f_t3, J_t3, ok_t3 = imgproc.rgb_odometry_tiled(
+        planes, imgproc.warp_texture_tiled(jnp.asarray(prev_i),
+                                           jnp.asarray(depth)),
+        intr, krkinv, kt, **kw)
+    f_p, J_p, ok_p = map(np.asarray, (f_p, J_p, ok_p))
+    f_t3, J_t3, ok_t3 = map(np.asarray, (f_t3, J_t3, ok_t3))
+
+    # un-permute the plane layout: plane P=p*2+q entry [a, b] is pixel
+    # (2a+p, 2b+q)
+    f_t = np.zeros_like(f_p)
+    J_t = np.zeros_like(J_p)
+    ok_t = np.zeros_like(ok_p)
+    for P, (p, q) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        f_t[p::2, q::2] = f_t3[P]
+        ok_t[p::2, q::2] = ok_t3[P]
+        J_t[p::2, q::2] = np.moveaxis(J_t3[:, P], 0, -1)
+
+    assert not np.any(ok_t & ~ok_p)              # tiled only drops pixels
+    kept = ok_t
+    assert kept.sum() >= 0.97 * ok_p.sum()       # ...and very few of them
+    assert np.array_equal(f_t[kept], f_p[kept])  # bit-exact where kept
+    assert np.array_equal(J_t[kept], J_p[kept])
+
+
 def test_pyramid_shapes_and_downsampling():
     rng = np.random.default_rng(6)
     h, w = 32, 48

@@ -151,16 +151,18 @@ def test_sdf_term_gradient_consistency():
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint unavailable")
 @pytest.mark.slow
-def test_two_frame_tracking_recovers_pose():
+@pytest.mark.parametrize("warp_tiled", [False, True])
+def test_two_frame_tracking_recovers_pose(warp_tiled):
     """Integrate a wall at a known pose, then track a second frame rendered
-    from a perturbed camera; the GN solve should recover the true motion."""
+    from a perturbed camera; the GN solve should recover the true motion.
+    Runs both warp texture layouts (per-pixel packed and block-tiled)."""
     from difusion_tpu.models import torch_import as TI
     dec_t, enc_t, spec_d, spec_e, _ = TI.load_torch_prior(conftest.REFERENCE_CKPT, 300)
     dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
     enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
 
     cfg = small_cfg(prune_min_vox_obs=4, ignore_count_th=1.0)
-    tcfg = T.TrackerConfig(point_budget=8192)
+    tcfg = T.TrackerConfig(point_budget=8192, warp_tiled=warp_tiled)
     pose0 = Isometry()   # at origin, +z towards the wall at z=2
 
     rgb0, depth0, ok0 = render_surface_frame(pose0, CALIB, corrugation=0.1)
