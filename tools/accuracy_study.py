@@ -56,13 +56,16 @@ def _tracking_args(variant: str = "default"):
                 "min_grad_scale": 0.0, "max_depth_delta": 0.2},
     }
     targs = dict_to_args(tracking)
-    if variant == "parity":      # defaults are already stride-1 f32
-        targs.xi_tol = 0.0
+    if variant == "parity":      # exact reference scheduling + per-pixel warp
+        targs.xi_tol = 0.0       # (defaults are already stride-1 f32)
         targs.energy_rel_tol = 0.0
+        targs.warp_tiled = False
     elif variant == "speed":
         targs.rgb_stride = 2
         targs.sdf_compute_dtype = "bfloat16"
-    else:
+    elif variant == "packed":    # default scheduling, per-pixel warp texture
+        targs.warp_tiled = False
+    else:   # default = early exits + block-tiled warp (TrackerConfig defaults)
         assert variant == "default", variant
     return targs
 
@@ -147,6 +150,8 @@ def main(argv=None):
     parser.add_argument("--skip-optimize-ab", action="store_true")
     parser.add_argument("--only", default="",
                         help="substring filter on sequence names")
+    parser.add_argument("--variants", default="default,parity,speed",
+                        help="comma list of tracker configs to run")
     args = parser.parse_args(argv)
 
     from difusion_tpu.utils.jaxtools import enable_persistent_compilation_cache
@@ -172,7 +177,7 @@ def main(argv=None):
         n = kw["n_frames"]
         if not (d / "groundtruth.txt").exists():
             make_icl(str(d), **kw)
-        for label in ("default", "parity", "speed"):
+        for label in args.variants.split(","):
             r = run_slam(str(d), n, label)
             r.update(seq=name, config=label)
             rows.append(r)

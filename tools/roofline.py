@@ -229,6 +229,8 @@ def main(argv=None):
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "BENCH_ROOFLINE.json"))
     ap.add_argument("--trace-dir", default="/tmp/difusion_roofline_trace")
+    ap.add_argument("--tiled", action="store_true",
+                    help="profile with the block-tiled warp (warp_tiled=True)")
     args = ap.parse_args(argv)
 
     import jax
@@ -242,7 +244,9 @@ def main(argv=None):
     peak = measured_peak_tflops()
     print(f"measured bf16 matmul peak: {peak:.1f} TFLOP/s", flush=True)
 
-    system, chunks, h, w = bench_mod.build_system(n_chunks=args.chunks)
+    system, chunks, h, w = bench_mod.build_system(
+        n_chunks=args.chunks,
+        tcfg_overrides=dict(warp_tiled=True) if args.tiled else None)
     dev_chunks = [jnp.asarray(c) for c in chunks]
     jax.block_until_ready(dev_chunks)
     for c in dev_chunks:                      # warm + flush
