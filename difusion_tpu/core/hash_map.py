@@ -251,16 +251,27 @@ def integrate_keyframe(cfg: HashMapConfig, enc_params: Dict[str, Any],
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "compute_dtype"))
 def query_sdf(cfg: HashMapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
-              state: HashMapState, xyz: jnp.ndarray, compute_dtype=jnp.float32
+              state: HashMapState, xyz: jnp.ndarray, compute_dtype=jnp.float32,
+              aug_table: jnp.ndarray = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Hash-map SDF query (reference get_sdf, map.py:559-579)."""
+    """Hash-map SDF query (reference get_sdf, map.py:559-579).
+
+    ``aug_table``: optional precomputed
+    :func:`difusion_tpu.core.map.latent_count_table` -- one row gather
+    instead of latents + obs_count (see the dense ``query_sdf``)."""
     pn = xyz / cfg.voxel_size
     cell = cell_of(cfg, jax.lax.stop_gradient(pn) * cfg.voxel_size)
     slot = slot_of(cfg, state, cell)
     slot_safe = jnp.clip(slot, 0, cfg.capacity - 1)
-    valid = (slot >= 0) & (state.obs_count[slot_safe] > cfg.ignore_count_th)
-    latent = jax.lax.stop_gradient(
-        jnp.where(valid[:, None], state.latents[slot_safe], 0.0))
+    if aug_table is not None:
+        row = aug_table[slot_safe]
+        valid = (slot >= 0) & (row[:, -1] > cfg.ignore_count_th)
+        latent = jax.lax.stop_gradient(
+            jnp.where(valid[:, None], row[:, :-1], 0.0))
+    else:
+        valid = (slot >= 0) & (state.obs_count[slot_safe] > cfg.ignore_count_th)
+        latent = jax.lax.stop_gradient(
+            jnp.where(valid[:, None], state.latents[slot_safe], 0.0))
     rel = pn - cell.astype(pn.dtype) - 0.5
     sdf, std = decode(dec_params, spec, latent, rel, compute_dtype=compute_dtype)
     return sdf, std, valid

@@ -242,12 +242,28 @@ def integrate_keyframe(cfg: MapConfig, enc_params: Dict[str, Any], state: MapSta
 # ---------------------------------------------------------------------------
 
 
+def latent_count_table(state) -> jnp.ndarray:
+    """(capacity, L+1) latents with ``obs_count`` appended as the last
+    column.  TPU gathers cost ~flat per ROW regardless of width, so a
+    query against this fused table needs ONE row gather where the plain
+    state needs two (latents + obs_count).  Iterating callers (the GN
+    tracker) build it once per frame outside their loops and pass it as
+    ``aug_table`` to :func:`query_sdf`."""
+    return jnp.concatenate(
+        [state.latents, state.obs_count[:, None].astype(state.latents.dtype)],
+        axis=1)
+
+
 def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
               state: MapState, xyz: jnp.ndarray,
-              compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+              compute_dtype=jnp.float32,
+              aug_table: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """SDF/std lookup with validity mask -- reference ``get_sdf``
     (map.py:559-579) without the dynamic gather: invalid entries decode a zero
-    latent and are masked downstream.  Returns (sdf (N,), std (N,), valid (N,))."""
+    latent and are masked downstream.  Returns (sdf (N,), std (N,), valid (N,)).
+
+    ``aug_table``: optional precomputed :func:`latent_count_table` --
+    collapses the latents + obs_count gathers into one row gather."""
     pn = normalize_points(cfg, xyz)
     cell = cell_of(cfg, jax.lax.stop_gradient(pn))
     inside = in_bounds(cfg, cell)
@@ -255,8 +271,13 @@ def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
     slot = state.indexer[lin]
     allocated = inside & (slot >= 0)
     slot_safe = jnp.clip(slot, 0, cfg.capacity - 1)
-    valid = allocated & (state.obs_count[slot_safe] > cfg.ignore_count_th)
-    latent = jnp.where(valid[:, None], state.latents[slot_safe], 0.0)
+    if aug_table is not None:
+        row = aug_table[slot_safe]
+        valid = allocated & (row[:, -1] > cfg.ignore_count_th)
+        latent = jnp.where(valid[:, None], row[:, :-1], 0.0)
+    else:
+        valid = allocated & (state.obs_count[slot_safe] > cfg.ignore_count_th)
+        latent = jnp.where(valid[:, None], state.latents[slot_safe], 0.0)
     latent = jax.lax.stop_gradient(latent)
     rel = pn - cell.astype(pn.dtype) - 0.5  # relative_network_offset (map.py:197)
     sdf, std = decode(dec_params, spec, latent, rel, compute_dtype=compute_dtype)

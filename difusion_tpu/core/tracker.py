@@ -450,9 +450,12 @@ def _robust_weight(x: jnp.ndarray, kind: str, k: float) -> jnp.ndarray:
 def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               state: M.MapState, last: Pose, delta: Pose,
               pts: jnp.ndarray, mask: jnp.ndarray, robust_kernel: str,
-              robust_k: float, compute_dtype=jnp.float32):
+              robust_k: float, compute_dtype=jnp.float32,
+              aug_table: jnp.ndarray = None):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
-    (reference compute_sdf_Hg, tracker.py:174-218)."""
+    (reference compute_sdf_Hg, tracker.py:174-218).  ``aug_table`` is the
+    caller's per-frame :func:`~difusion_tpu.core.map.latent_count_table`
+    (one row gather per query instead of latents + obs_count)."""
     y = delta.apply(pts)
 
     query = (HM.query_sdf if isinstance(map_cfg, HM.HashMapConfig)
@@ -461,7 +464,8 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
     def residual(y_pts):
         x = last.apply(y_pts)
         sdf, std, valid = query(map_cfg, dec_params, spec, state, x,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                aug_table=aug_table)
         return sdf / jax.lax.stop_gradient(std), valid
 
     r, vjp_fn, valid = jax.vjp(residual, y, has_aux=True)
@@ -536,15 +540,16 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
         f3, J3, ok3 = imgproc.rgb_odometry_tiled(
             cur_level, tex, intr, krkinv, kt,
             tcfg.min_grad_scale, tcfg.max_depth_delta)
-        f = f3.reshape(-1)
-        Jn = J3.reshape(6, -1)                          # (6, N)
-        okf = ok3.reshape(-1)
-        w = jnp.where(okf, _robust_weight(f, tcfg.rgb_robust_kernel,
+        # reduce the normal equations directly over the (6, 4, H2, W2)
+        # layout: flattening first forces an (8, 128)-tile relayout of J
+        # every iteration (profiled ~0.7 ms/frame of reshape fusions),
+        # while a 4D contraction lets XLA reduce in the native layout
+        w = jnp.where(ok3, _robust_weight(f3, tcfg.rgb_robust_kernel,
                                           tcfg.rgb_robust_k), 0.0)
-        scale = rgb_weight / jnp.maximum(okf.sum(), 1).astype(f.dtype)
-        H = jnp.einsum("an,bn->ab", Jn * w[None, :], Jn) * scale
-        g = jnp.sum(Jn * (w * f)[None, :], axis=1) * scale
-        energy = jnp.sum(w * f * f) * scale
+        scale = rgb_weight / jnp.maximum(ok3.sum(), 1).astype(f3.dtype)
+        H = jnp.einsum("aphw,bphw->ab", J3 * w[None], J3) * scale
+        g = jnp.einsum("aphw,phw->a", J3, w * f3) * scale
+        energy = jnp.sum(w * f3 * f3) * scale
         return H, g, energy
 
     st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
@@ -630,6 +635,11 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
 
     prev_texs = {lvl: _tex(lvl) for lvl in sorted(rgb_levels)}
 
+    # fused (capacity, L+1) latents+obs_count table, built ONCE per frame
+    # outside the GN while_loops (the barrier keeps it from sinking into
+    # them): every SDF query then needs one row gather instead of two
+    aug_table = jax.lax.optimization_barrier(M.latent_count_table(state))
+
     def eval_Hg(delta: Pose, terms, is_last_group: bool):
         H = jnp.zeros((6, 6), jnp.float32)
         g = jnp.zeros(6, jnp.float32)
@@ -644,7 +654,8 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                 tH, tg, tE = _sdf_term(map_cfg, dec_params, spec, state, last,
                                        delta, cur.pts_cam, cur.pc_mask,
                                        tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
-                                       compute_dtype=sdf_dtype)
+                                       compute_dtype=sdf_dtype,
+                                       aug_table=aug_table)
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur_levels[int(term[1])],
