@@ -299,26 +299,34 @@ def _finish_window_stats(sums, valid, px, py, pz, nb_points, min_nb):
 
 def pack_frame(rgb: np.ndarray, depth: np.ndarray, dcam_scale: float,
                lossless: bool = False) -> np.ndarray:
-    """Pack a frame into ONE minimal 1-D uint8 buffer: uint8 mean intensity
-    (the sensor's own 8-bit quantization; the GN photometric term compares
-    prev/cur intensities on the same grid, and the <=0.2% rounding is far
-    below the sensor noise the term is robust to) followed by uint16 depth
-    in sensor units (native uint16 passes through; float metric depth is
-    quantized by ``dcam_scale``, i.e. re-quantized to what the sensor
-    delivered in the first place).  On tunneled/remote device transports
-    every transfer pays a round trip and bandwidth is shared with dispatch
-    RPCs, so the pipeline ships one small buffer per frame (0.9 MB at
-    640x480) and splits it in-jit (:func:`preprocess_frame_packed`).
+    """Pack a frame into ONE minimal (h, 3w) uint8 BYTE-PLANE buffer: each
+    row is ``[intensity row | depth-low-byte row | depth-high-byte row]``.
+    Intensity is uint8 mean intensity (the sensor's own 8-bit quantization;
+    the GN photometric term compares prev/cur intensities on the same grid,
+    and the <=0.2% rounding is far below the sensor noise the term is robust
+    to); depth is uint16 sensor units split into two byte planes (native
+    uint16 passes through; float metric depth is quantized by
+    ``dcam_scale``, i.e. re-quantized to what the sensor delivered in the
+    first place).  On tunneled/remote device transports every transfer pays
+    a round trip and bandwidth is shared with dispatch RPCs, so the pipeline
+    ships one small buffer per frame (0.9 MB at 640x480) and splits it
+    in-jit (:func:`preprocess_frame_packed`).
+
+    Why byte PLANES instead of a flat byte stream: the buffer lands on the
+    device already in the 2-D (8, 128) tile layout, so unpacking is three
+    full-lane column slices plus elementwise integer math -- a flat 1-D
+    buffer needs a u8 relayout reshape that profiled at ~0.35 ms/frame on
+    TPU (half a decoder eval, every frame, for nothing).
 
     ``dcam_scale`` MUST equal the ``calib.dcam_scale`` of the unpacking
     :func:`preprocess_frame_packed` call (the unpacker divides by it); there
     is deliberately no default so the two cannot silently disagree.
 
-    ``lossless=True`` packs raw f32 RGB + f32 metric depth instead (16
-    bytes/pixel vs 3): the intensity mean is then computed by the SAME jit
-    code as the direct API, so the result is bit-exact against
-    :func:`preprocess_frame` on float inputs -- the parity/debug opt-out
-    for runs that must reproduce direct-API numerics.
+    ``lossless=True`` packs raw f32 RGB + f32 metric depth instead as 16
+    byte planes, (h, 16w) (16 bytes/pixel vs 3): the intensity mean is then
+    computed by the SAME jit code as the direct API, so the result is
+    bit-exact against :func:`preprocess_frame` on float inputs -- the
+    parity/debug opt-out for runs that must reproduce direct-API numerics.
     """
     if lossless:
         if rgb.dtype == np.uint8 and rgb.ndim == 3:
@@ -329,8 +337,13 @@ def pack_frame(rgb: np.ndarray, depth: np.ndarray, dcam_scale: float,
             d = depth.astype(np.float32) / np.float32(dcam_scale)
         else:
             d = np.asarray(depth, np.float32)
-        return np.concatenate([np.ascontiguousarray(rgb_f).view(np.uint8).ravel(),
-                               np.ascontiguousarray(d).view(np.uint8).ravel()])
+        rgb_u = np.ascontiguousarray(rgb_f).view(np.uint32)       # (h, w, 3)
+        d_u = np.ascontiguousarray(d).view(np.uint32)             # (h, w)
+        planes = [((rgb_u[:, :, c] >> (8 * k)) & 0xFF).astype(np.uint8)
+                  for c in range(3) for k in range(4)]
+        planes += [((d_u >> (8 * k)) & 0xFF).astype(np.uint8)
+                   for k in range(4)]
+        return np.concatenate(planes, axis=1)                     # (h, 16w)
     if rgb.dtype == np.uint8 and rgb.ndim == 3:
         intensity = ((rgb.sum(axis=-1, dtype=np.uint16) + 1) // 3).astype(np.uint8)
     else:   # float rgb in [0,1]: scale to the same 0..255 grid
@@ -341,8 +354,8 @@ def pack_frame(rgb: np.ndarray, depth: np.ndarray, dcam_scale: float,
     else:
         dq = np.clip(np.nan_to_num(np.asarray(depth, np.float32)) * dcam_scale
                      + 0.5, 0, 65535).astype(np.uint16)
-    return np.concatenate([intensity.view(np.uint8).ravel(),
-                           dq.view(np.uint8).ravel()])
+    return np.concatenate([intensity, (dq & 0xFF).astype(np.uint8),
+                           (dq >> 8).astype(np.uint8)], axis=1)   # (h, 3w)
 
 
 @partial(jax.jit, static_argnames=("tcfg", "calib", "h", "w"))
@@ -350,20 +363,42 @@ def preprocess_frame_packed(tcfg: TrackerConfig, calib: Intrinsic,
                             packed: jnp.ndarray, h: int, w: int
                             ) -> ProcessedFrame:
     """:func:`preprocess_frame` over a :func:`pack_frame` buffer.  The
-    layout is recovered from the (static) buffer size: 3 bytes/pixel is the
-    quantized format, 16 bytes/pixel the lossless f32 format."""
+    layout is recovered from the (static) buffer shape: (h, 3w) byte planes
+    is the quantized format, (h, 16w) the lossless f32 format (legacy 1-D
+    byte streams of either size still unpack via a reshape).  Byte-plane
+    buffers unpack as full-lane column slices + integer math -- no relayout
+    (see :func:`pack_frame`)."""
     n_i = h * w
-    if packed.shape[0] == 16 * n_i:          # lossless f32 packing
-        rgb = jax.lax.bitcast_convert_type(
-            packed[:12 * n_i].reshape(h, w, 3, 4), jnp.float32)
-        depth = jax.lax.bitcast_convert_type(
-            packed[12 * n_i:].reshape(h, w, 4), jnp.float32)
-        return _preprocess_core(tcfg, calib, jnp.mean(rgb, axis=-1), depth)
-    inten8 = packed[:n_i].reshape(h, w)
-    d16 = jax.lax.bitcast_convert_type(
-        packed[n_i:].reshape(h, w, 2), jnp.uint16)
+    if packed.ndim == 1:                     # legacy flat byte stream
+        if packed.shape[0] == 16 * n_i:
+            # flat lossless layout: 12 rgb bytes then 4 depth bytes per image
+            rgb = jax.lax.bitcast_convert_type(
+                packed[:12 * n_i].reshape(h, w, 3, 4), jnp.float32)
+            depth = jax.lax.bitcast_convert_type(
+                packed[12 * n_i:].reshape(h, w, 4), jnp.float32)
+            return _preprocess_core(tcfg, calib, jnp.mean(rgb, axis=-1), depth)
+        inten8 = packed[:n_i].reshape(h, w)
+        d16 = jax.lax.bitcast_convert_type(
+            packed[n_i:].reshape(h, w, 2), jnp.uint16)
+        intensity = inten8.astype(jnp.float32) * (1.0 / 255.0)
+        depth = d16.astype(jnp.float32) * (1.0 / calib.dcam_scale)
+        return _preprocess_core(tcfg, calib, intensity, depth)
+
+    if packed.shape[1] == 16 * w:            # lossless f32 byte planes
+        def f32_plane(k0):
+            u = sum(packed[:, (k0 + k) * w:(k0 + k + 1) * w].astype(jnp.uint32)
+                    << (8 * k) for k in range(4))
+            return jax.lax.bitcast_convert_type(u, jnp.float32)
+        # (a + b + c) / 3 matches jnp.mean(rgb, -1) bit-for-bit (same reduce
+        # order, same divide) -- the lossless path's contract
+        intensity = (f32_plane(0) + f32_plane(4) + f32_plane(8)) / 3.0
+        return _preprocess_core(tcfg, calib, intensity, f32_plane(12))
+
+    inten8 = packed[:, :w]
+    lo = packed[:, w:2 * w].astype(jnp.float32)
+    hi = packed[:, 2 * w:].astype(jnp.float32)
     intensity = inten8.astype(jnp.float32) * (1.0 / 255.0)
-    depth = d16.astype(jnp.float32) * (1.0 / calib.dcam_scale)
+    depth = (lo + 256.0 * hi) * (1.0 / calib.dcam_scale)
     return _preprocess_core(tcfg, calib, intensity, depth)
 
 

