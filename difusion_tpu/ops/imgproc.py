@@ -311,8 +311,8 @@ def _patches(img: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
 
 def warp_texture_tiled(prev_intensity: jnp.ndarray,
                        prev_depth: jnp.ndarray) -> jnp.ndarray:
-    """(H/2, W/2, 50) block-tiled warp texture: row ``[a, b]`` is the 5x5x2
-    image patch with top-left corner at pixel ``(2a, 2b)`` -- channel
+    """(H/2 * W/2, 50) block-tiled warp texture: row ``a * W/2 + b`` is the
+    5x5x2 image patch with top-left corner at pixel ``(2a, 2b)`` -- channel
     ``(r*5+c)*2 + ch`` is image channel ``ch`` (0=intensity, 1=depth) at
     pixel ``(2a+r, 2b+c)`` (zeros past the border).
 
@@ -332,7 +332,11 @@ def warp_texture_tiled(prev_intensity: jnp.ndarray,
     h, w = prev_intensity.shape
     assert h % 2 == 0 and w % 2 == 0, "tiled warp texture needs even dims"
     img2 = jnp.stack([prev_intensity, prev_depth], axis=-1)        # (h, w, 2)
-    return _patches(img2, window=5, stride=2)           # (H2, W2, 50)
+    pat = _patches(img2, window=5, stride=2)            # (H2, W2, 50)
+    # flatten to gather-operand shape HERE, once per frame: leaving it to the
+    # consumer re-lays the 15 MB texture out every GN iteration (profiled
+    # ~42 us x iterations/frame)
+    return pat.reshape((h // 2) * (w // 2), 50)         # (H2*W2, 50)
 
 
 class TiledFramePlanes(NamedTuple):
@@ -441,8 +445,7 @@ def rgb_odometry_tiled(planes: TiledFramePlanes, tex: jnp.ndarray,
     s_v = jnp.clip(jnp.min(jnp.where(cand, vi, big), axis=0), 0, h - 2) & ~1
 
     row = (s_v >> 1) * W2 + (s_u >> 1)                             # (H2, W2)
-    tile = jnp.take(tex.reshape(H2 * W2, 50), row.reshape(-1),
-                    axis=0).reshape(H2, W2, 50)
+    tile = jnp.take(tex, row.reshape(-1), axis=0).reshape(H2, W2, 50)
 
     ru = ui - s_u[None]
     rv = vi - s_v[None]
