@@ -124,7 +124,7 @@ class TrackerConfig(NamedTuple):
     # seeds with the previous inter-frame delta
     motion_prior: str = "none"
     # ship f32 frames to the device instead of the quantized uint8/uint16
-    # packing (8 bytes/pixel vs 3): bit-exact against the direct
+    # packing (16 bytes/pixel vs 3): bit-exact against the direct
     # preprocess_frame API, for parity/debug runs
     lossless_packing: bool = False
 

@@ -61,8 +61,8 @@ def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
     dispatch latencies.  The reference has no analog -- its per-frame loop
     syncs to the host every GN iteration (reference tracker.py:170,218,272).
 
-    ``packed_chunk``: (K, L) stacked :func:`~.core.tracker.pack_frame`
-    buffers.  ``do_integrate``: (K,) bool -- fuse that frame's point cloud
+    ``packed_chunk``: (K, h, 3w) stacked :func:`~.core.tracker.pack_frame`
+    byte-plane buffers ((K, h, 16w) for the lossless f32 packing).  ``do_integrate``: (K,) bool -- fuse that frame's point cloud
     into the map after tracking (the ``integrate_interval`` schedule).
     Returns (carry, (Rs, ts, energies)) where carry holds the final map
     state, tracker temporal state, and the LAST frame's processed point

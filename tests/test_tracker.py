@@ -242,6 +242,33 @@ def test_packed_preprocess_matches_direct():
                                atol=qi + 1e-6)
 
 
+def test_legacy_flat_packing_still_unpacks():
+    """A flat 1-D byte stream (the pre-byte-plane pack_frame layout:
+    intensity bytes then little-endian uint16 depth bytes) must unpack
+    identically to the current (h, 3w) plane buffer -- backward
+    compatibility for stored buffers."""
+    rng = np.random.default_rng(11)
+    h, w = 48, 64
+    rgb_u8 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    d16 = rng.integers(300, 20000, (h, w), dtype=np.uint16)
+    tcfg = T.TrackerConfig(point_budget=256)
+
+    planes = T.pack_frame(rgb_u8, d16, CALIB.dcam_scale)
+    assert planes.shape == (h, 3 * w)
+    intensity = planes[:, :w]
+    legacy = np.concatenate([intensity.ravel(),
+                             d16.view(np.uint8).ravel()])
+    via_planes = T.preprocess_frame_packed(tcfg, CALIB, jnp.asarray(planes),
+                                           h, w)
+    via_legacy = T.preprocess_frame_packed(tcfg, CALIB, jnp.asarray(legacy),
+                                           h, w)
+    np.testing.assert_array_equal(np.asarray(via_planes.pyramid.depth[0]),
+                                  np.asarray(via_legacy.pyramid.depth[0]))
+    np.testing.assert_array_equal(
+        np.asarray(via_planes.pyramid.intensity[0]),
+        np.asarray(via_legacy.pyramid.intensity[0]))
+
+
 @pytest.mark.slow
 def test_lossless_packing_is_bit_exact():
     """pack_frame(lossless=True) + preprocess_frame_packed reproduces the
