@@ -184,8 +184,27 @@ def test_train_driver_end_to_end(lif_dir, tmp_path):
                            code_reg_lambda=0.01),
         save_dir=str(tmp_path / "ckpt"),
     )
-    state = TR.train(hyper, max_steps=3)
-    assert int(state.step) == 3
+    # Run the driver in a FRESH process.  In-process, this exact train-step
+    # compile segfaults inside XLA:CPU's LLVM when it happens at the tail of
+    # a full-suite run (reproducible at tests/ position 147/147; the same
+    # test is green standalone and in every smaller grouping tried) -- a
+    # long-lived-process compiler issue, not a trainer bug.  A subprocess is
+    # also the more faithful e2e: it exercises the real CLI entry state.
+    import os
+    import subprocess
+    import sys as _sys
+    (tmp_path / "hyper_in.json").write_text(json.dumps(hyper))
+    code = ("import json, sys\n"
+            "from difusion_tpu.train import trainer as TR\n"
+            "h = json.load(open(sys.argv[1]))\n"
+            "st = TR.train(h, max_steps=3)\n"
+            "print('FINAL_STEP', int(st.step))\n")
+    proc = subprocess.run(
+        [_sys.executable, "-c", code, str(tmp_path / "hyper_in.json")],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "FINAL_STEP 3" in proc.stdout
     assert (tmp_path / "ckpt" / "prior_1.npz").exists()
     assert (tmp_path / "ckpt" / "hyper.json").exists()
     # resumable + loadable by the SLAM prior loader
