@@ -606,12 +606,21 @@ def main(argv=None):
     parser.add_argument("--gt-poses", action="store_true",
                         help="mapping-only: fuse under the ground-truth "
                              "trajectory, no tracking (BASELINE config 2)")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="override a (possibly nested, dot-separated) "
+                             "config key, e.g. --set sequence_kwargs.path=X "
+                             "--set tracking.rgb.weight=300 (the reference "
+                             "CLI's config-key flags, exp_util.py:78-112)")
     cli = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     from .utils.jaxtools import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
     args = load_yaml_args(cli.config)
+    from .config import apply_override
+    for assignment in cli.overrides:
+        apply_override(args, assignment)
     seq = open_sequence(args.sequence_type, **args.sequence_kwargs)
     calib = seq.calib if hasattr(seq, "calib") else None
     system = SLAMSystem.from_config(args, calib, seq.first_iso,
