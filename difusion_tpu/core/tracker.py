@@ -103,6 +103,18 @@ class TrackerConfig(NamedTuple):
     # scan-vs-per-frame divergence, see tests/test_scan.py).  Only applies
     # to stride-1 levels; strided levels keep the per-pixel texture.
     warp_tiled: bool = True
+    # build the L0 tiled warp texture from the sensor-grid byte planes in
+    # bfloat16 (ops/imgproc.warp_texture_tiled_quantized): integers in
+    # [0, 255] are exact in bf16, so the one-hot space-to-depth conv runs
+    # as ONE bf16 MXU pass instead of three (profiled 357 -> ~120 us/frame)
+    # and the texture is half the bytes; taps reconstruct with the
+    # unpacker's exact arithmetic, so warped values are bit-exact vs the
+    # f32 texture WHEN frames are on the u8/u16 sensor grid (the quantized
+    # packed pipeline -- the shipped default).  Auto-disabled under
+    # lossless_packing; set False explicitly when feeding off-grid float
+    # frames through the direct API.  Pyramid levels >= 1 always use the
+    # f32 texture (downsampled intensity leaves the u8 grid).
+    warp_texture_bf16: bool = True
     # depth observation range (reference main.py:67-68, configs yaml:20-21)
     depth_cut_min: float = 0.5
     depth_cut_max: float = 5.0
@@ -574,7 +586,8 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     if tex_kind == "tiled":
         f3, J3, ok3 = imgproc.rgb_odometry_tiled(
             cur_level, tex, intr, krkinv, kt,
-            tcfg.min_grad_scale, tcfg.max_depth_delta)
+            tcfg.min_grad_scale, tcfg.max_depth_delta,
+            dcam_scale=calib.dcam_scale)
         # reduce the normal equations directly over the (6, 4, H2, W2)
         # layout: flattening first forces an (8, 128)-tile relayout of J
         # every iteration (profiled ~0.7 ms/frame of reshape fusions),
@@ -662,6 +675,14 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
 
     def _tex(lvl):
         if _level_tiled(tcfg, cur.pyramid, lvl):
+            # sensor-grid bf16 texture only at L0 (downsampled levels leave
+            # the u8 grid) and only for the quantized pipeline
+            if (lvl == 0 and tcfg.warp_texture_bf16
+                    and not tcfg.lossless_packing):
+                return ("tiled", jax.lax.optimization_barrier(
+                    imgproc.warp_texture_tiled_quantized(
+                        prev.intensity[lvl], prev.depth[lvl],
+                        calib.dcam_scale)))
             return ("tiled", jax.lax.optimization_barrier(
                 imgproc.warp_texture_tiled(prev.intensity[lvl],
                                            prev.depth[lvl])))

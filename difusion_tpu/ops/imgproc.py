@@ -339,6 +339,45 @@ def warp_texture_tiled(prev_intensity: jnp.ndarray,
     return pat.reshape((h // 2) * (w // 2), 50)         # (H2*W2, 50)
 
 
+def warp_texture_tiled_quantized(prev_intensity: jnp.ndarray,
+                                 prev_depth: jnp.ndarray,
+                                 dcam_scale: float) -> jnp.ndarray:
+    """(H/2 * W/2, 75) bfloat16 block-tiled warp texture for SENSOR-GRID
+    frames: channel ``r*5+c`` is round(255 * intensity), ``25 + r*5+c`` the
+    high byte and ``50 + r*5+c`` the low byte of round(dcam_scale * depth),
+    at pixel ``(2a+r, 2b+c)``.
+
+    Bit-exact-by-construction fast path for the quantized packed pipeline
+    (the shipped default): when intensity sits on the uint8 grid and depth
+    on the uint16 sensor grid, all three planes are integers in [0, 255] --
+    EXACTLY representable in bfloat16 -- so the one-hot space-to-depth conv
+    runs as ONE bf16 MXU pass instead of the f32 texture's three
+    (:func:`_patches` at precision HIGH), and the texture itself is half
+    the bytes.  :func:`rgb_odometry_tiled` reconstructs
+    ``u8 -> f32 * (1/255)`` and ``(hi*256 + lo) -> f32 * (1/dcam_scale)``
+    per tap -- the identical arithmetic the unpacker applies to the full
+    image, so every warped value matches the f32 texture bit-for-bit.  For
+    off-grid inputs (``lossless_packing``, direct-API float frames) use
+    :func:`warp_texture_tiled`; this path would quantize them."""
+    h, w = prev_intensity.shape
+    assert h % 2 == 0 and w % 2 == 0, "tiled warp texture needs even dims"
+    i255 = jnp.round(prev_intensity * 255.0)
+    d_units = jnp.round(prev_depth * dcam_scale)        # exact u16 integers
+    d_hi = jnp.floor(d_units * (1.0 / 256.0))
+    d_lo = d_units - 256.0 * d_hi
+    img3 = jnp.stack([i255, d_hi, d_lo], axis=-1).astype(jnp.bfloat16)
+    fl = _space_to_depth_filter(5, 2, 3)
+    # channel order [25 x int | 25 x hi | 25 x lo]: tap (r, c) of plane p is
+    # output channel p*25 + r*5 + c (contiguous per-plane blocks, so the
+    # consumer's tap reads are plain adds on the channel index)
+    fl = fl.reshape(5, 5, 3, 25, 3).transpose(0, 1, 2, 4, 3).reshape(5, 5, 3, 75)
+    out = jax.lax.conv_general_dilated(
+        img3[None], jnp.asarray(fl, jnp.bfloat16), (2, 2),
+        padding=((0, 3), (0, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]  # (H2, W2, 75) bf16
+    return out.reshape((h // 2) * (w // 2), 75)
+
+
 class TiledFramePlanes(NamedTuple):
     """Parity-plane split of one pyramid level's current-frame inputs for
     :func:`rgb_odometry_tiled`: plane ``P = p*2 + q`` of array ``X`` holds
@@ -386,16 +425,19 @@ def make_tiled_frame_planes(intensity: jnp.ndarray, depth: jnp.ndarray,
 def rgb_odometry_tiled(planes: TiledFramePlanes, tex: jnp.ndarray,
                        intr: jnp.ndarray, krkinv: jnp.ndarray,
                        kt: jnp.ndarray,
-                       min_grad_scale: float, max_depth_delta: float
+                       min_grad_scale: float, max_depth_delta: float,
+                       dcam_scale: float = 0.0
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Block-tiled :func:`rgb_odometry` (stride 1, bilinear): the previous
-    frame is sampled through the (H2, W2, 50) :func:`warp_texture_tiled`
-    texture with ONE gather row per 2x2 pixel block.  Shapes differ from
-    ``rgb_odometry`` -- inputs are the parity planes of
-    :func:`make_tiled_frame_planes`, outputs are ``f (4, H2, W2)``,
-    ``J (6, 4, H2, W2)``, ``ok (4, H2, W2)`` in the same plane order (a
-    pure re-indexing of the pixel set; the tracker's normal-equation sums
-    are order-free).
+    frame is sampled through the (H2*W2, 50) f32 :func:`warp_texture_tiled`
+    texture -- or the (H2*W2, 75) bf16
+    :func:`warp_texture_tiled_quantized` one (``dcam_scale`` required then;
+    taps reconstruct by the unpacker's exact arithmetic) -- with ONE gather
+    row per 2x2 pixel block.  Shapes differ from ``rgb_odometry`` -- inputs
+    are the parity planes of :func:`make_tiled_frame_planes`, outputs are
+    ``f (4, H2, W2)``, ``J (6, 4, H2, W2)``, ``ok (4, H2, W2)`` in the same
+    plane order (a pure re-indexing of the pixel set; the tracker's
+    normal-equation sums are order-free).
 
     Per kept pixel the residual and Jacobian are BIT-EXACT vs
     ``rgb_odometry(..., bilinear=True, coord_stride=1)``; a pixel is
@@ -444,8 +486,11 @@ def rgb_odometry_tiled(planes: TiledFramePlanes, tex: jnp.ndarray,
     s_u = jnp.clip(jnp.min(jnp.where(cand, ui, big), axis=0), 0, w - 2) & ~1
     s_v = jnp.clip(jnp.min(jnp.where(cand, vi, big), axis=0), 0, h - 2) & ~1
 
+    quantized = tex.shape[-1] == 75
+    assert not quantized or dcam_scale > 0.0, \
+        "the quantized (75-ch) texture needs dcam_scale for tap reconstruction"
     row = (s_v >> 1) * W2 + (s_u >> 1)                             # (H2, W2)
-    tile = jnp.take(tex, row.reshape(-1), axis=0).reshape(H2, W2, 50)
+    tile = jnp.take(tex, row.reshape(-1), axis=0).reshape(H2, W2, -1)
 
     ru = ui - s_u[None]
     rv = vi - s_v[None]
@@ -461,20 +506,36 @@ def rgb_odometry_tiled(planes: TiledFramePlanes, tex: jnp.ndarray,
     sv = av >= 0.5
     iu = ru + su
     iv = rv + sv
+
+    # tap accessors for the two texture layouts.  Quantized taps rebuild the
+    # f32 values with the EXACT arithmetic preprocess_frame_packed applies
+    # to the full image (u8 * (1/255); (lo + 256*hi) * (1/dcam_scale)), so
+    # warped values match the f32 texture bit-for-bit on sensor-grid frames.
+    if quantized:
+        inv_d = 1.0 / dcam_scale
+        def tap_i(r, c):
+            return tile[..., r * 5 + c].astype(dt) * (1.0 / 255.0)
+        def tap_d(r, c):
+            return (tile[..., 50 + r * 5 + c].astype(dt)
+                    + 256.0 * tile[..., 25 + r * 5 + c].astype(dt)) * inv_d
+    else:
+        def tap_i(r, c):
+            return tile[..., (r * 5 + c) * 2]
+        def tap_d(r, c):
+            return tile[..., (r * 5 + c) * 2 + 1]
+
     prev_val = jnp.zeros_like(au)
     d0 = jnp.zeros_like(d1)
     for r in range(5):
         wv_r = jnp.where(rv == r, 1.0 - av, jnp.where(rv + 1 == r, av, 0.0))
         inner = jnp.zeros_like(au)
         for c in range(5):
-            t_i = tile[..., (r * 5 + c) * 2]                       # (H2, W2)
             wu_c = jnp.where(ru == c, 1.0 - au,
                              jnp.where(ru + 1 == c, au, 0.0))
-            inner = inner + wu_c * t_i
+            inner = inner + wu_c * tap_i(r, c)
         prev_val = prev_val + wv_r * inner
         for c in range(5):
-            t_d = tile[..., (r * 5 + c) * 2 + 1]
-            d0 = d0 + jnp.where((iv == r) & (iu == c), t_d, 0.0)
+            d0 = d0 + jnp.where((iv == r) & (iu == c), tap_d(r, c), 0.0)
 
     ok = (ok & inside & fits & (jnp.abs(wz - d0) <= max_depth_delta)
           & (d0 > 0.0))

@@ -236,6 +236,49 @@ def test_rgb_odometry_tiled_matches_packed():
     assert np.array_equal(J_t[kept], J_p[kept])
 
 
+def test_quantized_bf16_texture_is_bit_exact_on_sensor_grid():
+    """warp_texture_tiled_quantized (one bf16 MXU pass over the byte planes)
+    must reproduce the f32 warp_texture_tiled path EXACTLY when intensity
+    sits on the uint8 grid and depth on the uint16 sensor grid -- the
+    quantized packed pipeline's invariant."""
+    from difusion_tpu.utils.motion import Isometry
+    rng = np.random.default_rng(13)
+    h, w = 48, 64
+    fx = fy = 40.0
+    cx, cy = w / 2.0, h / 2.0
+    dcam = 5000.0
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # sensor-grid frames: u8 intensity, u16 depth units
+    prev_u8 = np.clip((np.sin(uu / 3.0) * np.cos(vv / 4.0) * 0.5 + 0.5)
+                      * 255 + rng.integers(0, 8, (h, w)), 0, 255).astype(np.uint8)
+    d16 = (np.clip(2.0 + 0.2 * np.sin(uu / 5.0), 0.5, 5.0)
+           * dcam).astype(np.uint16)
+    prev_i = jnp.asarray(prev_u8.astype(np.float32) * (1.0 / 255.0))
+    depth = jnp.asarray(d16.astype(np.float32) * np.float32(1.0 / dcam))
+    cur_i = jnp.roll(prev_i, (1, 1), axis=(0, 1))
+    ok = jnp.ones((h, w), bool)
+    grad, gok = imgproc.gradient_xy(cur_i)
+    intr = jnp.asarray([fx, fy, cx, cy])
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    delta = Isometry.from_twist(np.array([0.02, -0.015, 0.01,
+                                          0.004, -0.003, 0.006]))
+    krkinv = jnp.asarray(K @ delta.q.rotation_matrix @ np.linalg.inv(K))
+    kt = jnp.asarray(K @ delta.t)
+    planes = imgproc.make_tiled_frame_planes(cur_i, depth, ok, grad, gok)
+
+    kw = dict(min_grad_scale=0.0, max_depth_delta=0.5)
+    f_a, J_a, ok_a = imgproc.rgb_odometry_tiled(
+        planes, imgproc.warp_texture_tiled(prev_i, depth),
+        intr, krkinv, kt, **kw)
+    tex_q = imgproc.warp_texture_tiled_quantized(prev_i, depth, dcam)
+    assert tex_q.dtype == jnp.bfloat16 and tex_q.shape[-1] == 75
+    f_b, J_b, ok_b = imgproc.rgb_odometry_tiled(
+        planes, tex_q, intr, krkinv, kt, dcam_scale=dcam, **kw)
+    assert np.array_equal(np.asarray(ok_a), np.asarray(ok_b))
+    assert np.array_equal(np.asarray(f_a), np.asarray(f_b))
+    assert np.array_equal(np.asarray(J_a), np.asarray(J_b))
+
+
 def test_pyramid_shapes_and_downsampling():
     rng = np.random.default_rng(6)
     h, w = 32, 48
