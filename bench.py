@@ -198,6 +198,8 @@ def main(resident_only: bool = False):
         try:
             r = json.loads(roofline.read_text())
             line["stage_ms"] = r.get("stage_ms")
+            if r.get("region_ms"):
+                line["region_ms"] = r["region_ms"]
             for k in ("decoder_mfu", "overall_mfu", "measured_peak_tflops",
                       "program_gflops_per_frame"):
                 if k in r:

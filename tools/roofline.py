@@ -109,6 +109,38 @@ def build_fusion_classifier(hlo_text: str):
     return fusion_family
 
 
+_REGIONS = (
+    ("preprocess", "preprocess_frame"),      # unpack/pyramid/stencil/boxfilter
+    ("gn_track", "gauss_newton"),            # the GN iteration loop
+    ("integrate", "integrate_keyframe"),     # encoder fusion branch
+)
+
+
+def build_region_classifier(hlo_text: str):
+    """instruction name -> pipeline region, from the per-instruction
+    ``metadata={op_name="jit(track_fuse_scan)/.../jit(gauss_newton)/..."}``
+    annotations in the compiled HLO -- answers "which STAGE of the frame
+    is this fusion" where the op-family classifier answers "which KIND of
+    op".
+
+    CAVEAT: the profiler reports deduplicated fusion names -- bit-identical
+    computations in DIFFERENT regions (e.g. the (8192,) indexer gather that
+    appears both in the GN loop's query_sdf and in integrate_keyframe)
+    share one event name and attribute all executions to whichever twin
+    this map happens to record.  The split is indicative, not exact."""
+    region_of = {}
+    for m in re.finditer(r"%([\w.\-]+) = [^\n]*?metadata=\{[^}]*?"
+                         r"op_name=\"([^\"]*)\"", hlo_text):
+        name, op_name = m.group(1), m.group(2)
+        for region, tag in _REGIONS:
+            if tag in op_name:
+                region_of[name] = region
+                break
+        else:
+            region_of[name] = "other"
+    return region_of
+
+
 def classify(name: str, dedup: str, fusion_family: dict) -> str:
     base = dedup or name
     if base in fusion_family:
@@ -125,8 +157,9 @@ def classify(name: str, dedup: str, fusion_family: dict) -> str:
     return "elementwise"
 
 
-def parse_trace(trace_dir: str, fusion_family: dict):
-    """Sum LEAF device-event durations (us) by op family; containers
+def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None):
+    """Sum LEAF device-event durations (us) by op family (and, when a
+    region classifier is given, by pipeline region); containers
     (while/cond/jit/queue groupings) are skipped, so nothing double
     counts."""
     paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
@@ -138,6 +171,7 @@ def parse_trace(trace_dir: str, fusion_family: dict):
                    if e.get("ph") == "M" and e.get("name") == "process_name"
                    and "TPU" in str(e.get("args", {}).get("name", ""))}
     by_family = defaultdict(float)
+    by_region = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
@@ -147,11 +181,15 @@ def parse_trace(trace_dir: str, fusion_family: dict):
             continue
         dur = float(e.get("args", {}).get("device_duration_ps", 0)) / 1e6 \
             or e.get("dur", 0.0)
-        fam = classify(name, e.get("args", {}).get("deduplicated_name", ""),
-                       fusion_family)
+        dedup = e.get("args", {}).get("deduplicated_name", "")
+        fam = classify(name, dedup, fusion_family)
         by_family[fam] += dur
         total += dur
-    return dict(by_family), total
+        if region_of is not None:
+            region = region_of.get(dedup or name,
+                                   region_of.get(name, "other"))
+            by_region[region] += dur
+    return dict(by_family), dict(by_region), total
 
 
 def measured_peak_tflops():
@@ -266,6 +304,7 @@ def main(argv=None):
 
     # fusion classifier from the compiled scan program
     fusion_family = {}
+    region_of = {}
     try:
         from difusion_tpu import slam as slam_mod
         tr = system.tracker
@@ -275,7 +314,9 @@ def main(argv=None):
             tr.last_pose.R, tr.last_pose.t, tr.last_pyramid, tr.rgb_weight,
             tr.n_unstable, tr.last_delta.R, tr.last_delta.t, dev_chunks[0],
             jnp.ones(CHUNK, bool), h, w)
-        fusion_family = build_fusion_classifier(lowered.compile().as_text())
+        hlo_text = lowered.compile().as_text()
+        fusion_family = build_fusion_classifier(hlo_text)
+        region_of = build_region_classifier(hlo_text)
         print(f"classified {len(fusion_family)} fusions from HLO", flush=True)
     except Exception as e:
         print(f"HLO classification unavailable: {e}", flush=True)
@@ -287,15 +328,19 @@ def main(argv=None):
             system.process_chunk(c, h, w)
         np.asarray(system.tracker.last_pose.t)
 
-    fam_us, total_us = parse_trace(args.trace_dir, fusion_family)
+    fam_us, region_us, total_us = parse_trace(args.trace_dir, fusion_family,
+                                              region_of)
     stage_ms = {k: round(v / 1e3 / n_frames, 3)
                 for k, v in sorted(fam_us.items(), key=lambda kv: -kv[1])}
+    region_ms = {k: round(v / 1e3 / n_frames, 3)
+                 for k, v in sorted(region_us.items(), key=lambda kv: -kv[1])}
     device_ms = total_us / 1e3 / n_frames
 
     out = {
         "frame_ms": round(frame_ms, 2),
         "device_ms_per_frame": round(device_ms, 2),
         "stage_ms": stage_ms,
+        "region_ms": region_ms,
         "measured_peak_tflops": round(peak, 1),
         **dec_bench,
     }
