@@ -219,11 +219,19 @@ def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
     # (corner + count * mean).
     vsz = jnp.asarray(voxel_size, points.dtype)
     p_rel = points - ref.astype(points.dtype) * vsz - 0.5 * vsz      # (N, 3)
+    # invalid rows may carry NaN (e.g. degenerate PCA normals); a prefix sum
+    # would propagate them to EVERY later segment (the old scatter contained
+    # them in their own sentinel segment), so zero them with where -- a
+    # multiply by 0 keeps NaN
+    keep2 = valid[:, None]
+    p_rel = jnp.where(keep2, p_rel, 0.0)
+    nrm_safe = jnp.where(keep2, normals, 0.0)
     w = valid.astype(points.dtype)
     n_valid = jnp.maximum(w.sum(), 1.0)
-    n_base = jnp.sum(normals * w[:, None], axis=0) / n_valid         # (3,)
+    n_base = jnp.sum(nrm_safe, axis=0) / n_valid                     # (3,)
     payload = jnp.concatenate(
-        [p_rel, normals - n_base[None], jnp.ones((n, 1), points.dtype)],
+        [p_rel, nrm_safe - jnp.where(keep2, n_base[None], 0.0),
+         jnp.ones((n, 1), points.dtype)],
         axis=1)                                                      # (N, 7)
     # materialize before indexing: without the barrier XLA splits the packed
     # gather back into per-source-column gathers (profiled), re-paying the
@@ -239,6 +247,9 @@ def point_box_filter(points: jnp.ndarray, normals: jnp.ndarray,
     # (~0.08 ms) -- NOT jnp.searchsorted, whose vmapped binary search lowers
     # to 17 dependent (B,)-row gather steps (profiled at ~0.9 ms/frame).
     pos = jnp.where(seg_start, jnp.arange(n, dtype=jnp.int32), n)
+    if out_budget + 1 > n:       # shape contract: always out_budget outputs
+        pos = jnp.concatenate([pos, jnp.full(out_budget + 1 - n, n,
+                                             jnp.int32)])
     start = jax.lax.sort(pos)[:out_budget + 1]                       # (B+1,)
     sums = csum[start[1:]] - csum[start[:-1]]                        # (B, 7)
     cnts = sums[:, 6]

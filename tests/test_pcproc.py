@@ -69,6 +69,8 @@ def test_point_box_filter_exact_means():
     p, n, ok = pcproc.point_box_filter(jnp.asarray(pts), jnp.asarray(normals),
                                        jnp.asarray(valid), vs, out_budget=512)
     p, n, ok = np.asarray(p), np.asarray(n), np.asarray(ok)
+    # shape contract: exactly out_budget rows even when out_budget == N
+    assert p.shape == (512, 3) and n.shape == (512, 3) and ok.shape == (512,)
 
     ref = np.floor(pts / vs).astype(int)
     groups = {}
@@ -82,6 +84,33 @@ def test_point_box_filter_exact_means():
     # match each expected mean to a produced one
     for e in expect:
         assert any(np.allclose(e, g, atol=1e-4) for g in got)
+
+
+def test_point_box_filter_nan_invalid_rows_are_contained():
+    """NaN coordinates/normals on INVALID rows must not leak into any
+    output voxel (the prefix-sum formulation would otherwise propagate a
+    NaN to every later segment)."""
+    rng = np.random.default_rng(7)
+    pts = _cloud(rng, 256, scale=0.5)
+    normals = _cloud(rng, 256)
+    valid = np.ones(256, bool)
+    valid[:32] = False
+    pts_nan = pts.copy()
+    pts_nan[:32] = np.nan
+    normals_nan = normals.copy()
+    normals_nan[:32] = np.nan
+    vs = 0.1
+    a = pcproc.point_box_filter(jnp.asarray(pts_nan), jnp.asarray(normals_nan),
+                                jnp.asarray(valid), vs, out_budget=256)
+    b = pcproc.point_box_filter(jnp.asarray(pts), jnp.asarray(normals),
+                                jnp.asarray(valid), vs, out_budget=256)
+    pa, na, oka = map(np.asarray, a)
+    pb, nb, okb = map(np.asarray, b)
+    assert np.isfinite(pa[oka]).all() and np.isfinite(na[oka]).all()
+    # identical voxel means whether invalid rows hold NaN or garbage values
+    sa = pa[oka][np.lexsort(pa[oka].T)]
+    sb = pb[okb][np.lexsort(pb[okb].T)]
+    np.testing.assert_allclose(sa, sb, atol=5e-5)
 
 
 def test_point_box_filter_aabb_matches_lexsort():
