@@ -177,6 +177,8 @@ class TrackerConfig(NamedTuple):
             lossless_packing=bool(getattr(args, "lossless_packing",
                                           d["lossless_packing"])),
             warp_tiled=bool(getattr(args, "warp_tiled", d["warp_tiled"])),
+            warp_texture_bf16=bool(getattr(args, "warp_texture_bf16",
+                                           d["warp_texture_bf16"])),
         )
 
 
