@@ -593,14 +593,17 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
         # reduce the normal equations directly over the (6, 4, H2, W2)
         # layout: flattening first forces an (8, 128)-tile relayout of J
         # every iteration (profiled ~0.7 ms/frame of reshape fusions),
-        # while a 4D contraction lets XLA reduce in the native layout
+        # while a 4D contraction lets XLA reduce in the native layout.
+        # H, g and E all come out of ONE Gram product of the 7-row stack
+        # [J | f]: M[:6,:6] = sum w J J^T, M[:6,6] = sum (wJ) f = g,
+        # M[6,6] = sum w f^2 = E -- one contraction instead of three
+        # separate reductions over the same 7.4 MB operand
         w = jnp.where(ok3, _robust_weight(f3, tcfg.rgb_robust_kernel,
                                           tcfg.rgb_robust_k), 0.0)
         scale = rgb_weight / jnp.maximum(ok3.sum(), 1).astype(f3.dtype)
-        H = jnp.einsum("aphw,bphw->ab", J3 * w[None], J3) * scale
-        g = jnp.einsum("aphw,phw->a", J3, w * f3) * scale
-        energy = jnp.sum(w * f3 * f3) * scale
-        return H, g, energy
+        r7 = jnp.concatenate([J3, f3[None]], axis=0)       # (7, 4, H2, W2)
+        M = jnp.einsum("aphw,bphw->ab", r7 * w[None], r7) * scale
+        return M[:6, :6], M[:6, 6], M[6, 6]
 
     st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
     c_int, c_depth, c_ok, c_grad, c_gok = cur_level

@@ -61,7 +61,10 @@ def _tracking_args(variant: str = "default"):
         targs.energy_rel_tol = 0.0
         targs.warp_tiled = False
     elif variant == "speed":
-        targs.rgb_stride = 2
+        # L0 stays stride 1 (the block-tiled bf16 texture makes full-res L0
+        # as cheap as strided: 186 vs 185 fps resident measured) -- only the
+        # coarse levels stride, plus bf16 decoder evals (f32 final group)
+        targs.rgb_stride = [1, 2, 2]
         targs.sdf_compute_dtype = "bfloat16"
     elif variant == "packed":    # default scheduling, per-pixel warp texture
         targs.warp_tiled = False
