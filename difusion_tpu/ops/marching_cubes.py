@@ -46,12 +46,38 @@ class McResult(NamedTuple):
 
 def mc_triangles_np(res: McResult) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Host-side unpack: (tris (C, 3, 3), stds (C, 3), blocks (C,), count)
-    where C = min(count, buffer size)."""
+    where C = min(count, buffer size).
+
+    The device slice length is rounded UP to the next power of two before
+    transfer: a slice program is compiled per distinct length, and the raw
+    triangle count differs on every extract -- unbucketed, each incremental
+    extract paid a fresh (remote-service) compile of three trivial slice
+    programs, which dominated its wall time.  The bucket bounds the compile
+    surface to ~log2(budget) programs, cached forever.  The three outputs
+    also pack into ONE (13, cb) buffer on device so the extract pays one
+    host round trip instead of three (~28 ms each on a tunneled runtime)."""
     count = min(int(res.count), res.triangles.shape[1])
-    tris = np.asarray(res.triangles[:, :count]).T.reshape(count, 3, 3)
-    stds = np.asarray(res.tri_std[:, :count]).T
-    blocks = np.asarray(res.tri_block[:count])
+    cap = res.triangles.shape[1]
+    cb = 1
+    while cb < count:
+        cb *= 2
+    cb = min(cb, cap)
+    packed = np.asarray(_pack_mc_outputs(res.triangles, res.tri_std,
+                                         res.tri_block, cb))
+    tris = packed[0:9, :count].T.reshape(count, 3, 3)
+    stds = packed[9:12, :count].T
+    blocks = packed[12, :count].view(np.int32)
     return tris, stds, blocks, int(res.count)
+
+
+@partial(jax.jit, static_argnames=("cb",))
+def _pack_mc_outputs(triangles, tri_std, tri_block, cb: int):
+    """(13, cb) f32 download buffer: 9 triangle rows, 3 std rows, the block
+    ids bitcast to f32 in row 12 (bit-preserving; the host views them back
+    as int32)."""
+    blk = jax.lax.bitcast_convert_type(tri_block[:cb], jnp.float32)
+    return jnp.concatenate([triangles[:, :cb], tri_std[:, :cb], blk[None]],
+                           axis=0)
 
 
 def _corner_tables(r: int):
