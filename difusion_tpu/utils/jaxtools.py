@@ -14,6 +14,10 @@ def enable_persistent_compilation_cache(path: str = "") -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: on a remote-compile transport even sub-second
+        # compiles cost seconds of round trip, and the incremental mesher's
+        # small bucketed programs (slices/packs per size) were re-compiled
+        # every run because they fell under the default 1 s threshold
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:   # cache is an optimization; never fail the run for it
         pass
