@@ -259,6 +259,17 @@ def query_sdf(cfg: HashMapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
     ``aug_table``: optional precomputed
     :func:`difusion_tpu.core.map.latent_count_table` -- one row gather
     instead of latents + obs_count (see the dense ``query_sdf``)."""
+    latent, rel, valid = gather_latent_rel(cfg, state, xyz, aug_table)
+    sdf, std = decode(dec_params, spec, latent, rel, compute_dtype=compute_dtype)
+    return sdf, std, valid
+
+
+def gather_latent_rel(cfg: HashMapConfig, state: HashMapState,
+                      xyz: jnp.ndarray, aug_table: jnp.ndarray = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pre-decode half of the hash ``query_sdf`` (probe + latent gather +
+    voxel-local coords); same contract as the dense
+    :func:`difusion_tpu.core.map.gather_latent_rel`."""
     pn = xyz / cfg.voxel_size
     cell = cell_of(cfg, jax.lax.stop_gradient(pn) * cfg.voxel_size)
     slot = slot_of(cfg, state, cell)
@@ -273,8 +284,7 @@ def query_sdf(cfg: HashMapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
         latent = jax.lax.stop_gradient(
             jnp.where(valid[:, None], state.latents[slot_safe], 0.0))
     rel = pn - cell.astype(pn.dtype) - 0.5
-    sdf, std = decode(dec_params, spec, latent, rel, compute_dtype=compute_dtype)
-    return sdf, std, valid
+    return latent, rel, valid
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -254,16 +254,13 @@ def latent_count_table(state) -> jnp.ndarray:
         axis=1)
 
 
-def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
-              state: MapState, xyz: jnp.ndarray,
-              compute_dtype=jnp.float32,
-              aug_table: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """SDF/std lookup with validity mask -- reference ``get_sdf``
-    (map.py:559-579) without the dynamic gather: invalid entries decode a zero
-    latent and are masked downstream.  Returns (sdf (N,), std (N,), valid (N,)).
-
-    ``aug_table``: optional precomputed :func:`latent_count_table` --
-    collapses the latents + obs_count gathers into one row gather."""
+def gather_latent_rel(cfg: MapConfig, state: MapState, xyz: jnp.ndarray,
+                      aug_table: jnp.ndarray = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The pre-decode half of :func:`query_sdf`: voxel lookup + latent
+    gather + voxel-local coordinates.  Returns (latent (N, L) stop-gradiented,
+    rel (N, 3), valid (N,)); ``d rel / d xyz = 1 / voxel_size`` (the chain
+    factor fused-gradient callers apply, core/tracker._sdf_term)."""
     pn = normalize_points(cfg, xyz)
     cell = cell_of(cfg, jax.lax.stop_gradient(pn))
     inside = in_bounds(cfg, cell)
@@ -280,6 +277,20 @@ def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
         latent = jnp.where(valid[:, None], state.latents[slot_safe], 0.0)
     latent = jax.lax.stop_gradient(latent)
     rel = pn - cell.astype(pn.dtype) - 0.5  # relative_network_offset (map.py:197)
+    return latent, rel, valid
+
+
+def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
+              state: MapState, xyz: jnp.ndarray,
+              compute_dtype=jnp.float32,
+              aug_table: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SDF/std lookup with validity mask -- reference ``get_sdf``
+    (map.py:559-579) without the dynamic gather: invalid entries decode a zero
+    latent and are masked downstream.  Returns (sdf (N,), std (N,), valid (N,)).
+
+    ``aug_table``: optional precomputed :func:`latent_count_table` --
+    collapses the latents + obs_count gathers into one row gather."""
+    latent, rel, valid = gather_latent_rel(cfg, state, xyz, aug_table)
     sdf, std = decode(dec_params, spec, latent, rel, compute_dtype=compute_dtype)
     return sdf, std, valid
 

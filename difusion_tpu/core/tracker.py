@@ -135,6 +135,18 @@ class TrackerConfig(NamedTuple):
     # identity lspeed placeholder, tracker.py:118-119); "constant_velocity"
     # seeds with the previous inter-frame delta
     motion_prior: str = "none"
+    # literal reference-warp numerics (both off by default -- the bilinear /
+    # per-level-K defaults track measurably better, ACCURACY artifacts):
+    # rgb_bilinear=False samples the previous frame's intensity at the
+    # ROUND-TO-NEAREST reprojected pixel exactly like the CUDA kernel
+    # (reference photometric.cu:44-55); forces the per-pixel warp path
+    # (the tiled texture is bilinear by construction).
+    rgb_bilinear: bool = True
+    # rgb_fullres_K=True reuses the FULL-RESOLUTION intrinsics at every
+    # pyramid level, reproducing the reference's compute_rgb_Hg which
+    # builds K once from the frame calib and never rescales it per level
+    # (reference tracker.py:133-136).
+    rgb_fullres_K: bool = False
     # ship f32 frames to the device instead of the quantized uint8/uint16
     # packing (16 bytes/pixel vs 3): bit-exact against the direct
     # preprocess_frame API, for parity/debug runs
@@ -179,6 +191,10 @@ class TrackerConfig(NamedTuple):
             warp_tiled=bool(getattr(args, "warp_tiled", d["warp_tiled"])),
             warp_texture_bf16=bool(getattr(args, "warp_texture_bf16",
                                            d["warp_texture_bf16"])),
+            rgb_bilinear=bool(getattr(args, "rgb_bilinear",
+                                      d["rgb_bilinear"])),
+            rgb_fullres_K=bool(getattr(args, "rgb_fullres_K",
+                                       d["rgb_fullres_K"])),
         )
 
 
@@ -540,7 +556,8 @@ def _level_tiled(tcfg: TrackerConfig, cur: Pyramid, level: int) -> bool:
     has no 2x2 footprint locality)."""
     st = tcfg.rgb_stride[min(level, len(tcfg.rgb_stride) - 1)]
     h, w = cur.intensity[level].shape
-    return tcfg.warp_tiled and st == 1 and h % 2 == 0 and w % 2 == 0
+    return (tcfg.warp_tiled and tcfg.rgb_bilinear and st == 1
+            and h % 2 == 0 and w % 2 == 0)
 
 
 def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
@@ -573,7 +590,9 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     block-tiled :func:`~difusion_tpu.ops.imgproc.warp_texture_tiled`,
     ``"packed"`` for the per-pixel
     :func:`~difusion_tpu.ops.imgproc.warp_texture`."""
-    s = 0.5 ** level
+    # per-level intrinsics by default; rgb_fullres_K reproduces the
+    # reference's reuse of the full-res K at every level (tracker.py:133-136)
+    s = 1.0 if tcfg.rgb_fullres_K else 0.5 ** level
     fx, fy = calib.fx * s, calib.fy * s
     cx, cy = (calib.cx + 0.5) * s - 0.5, (calib.cy + 0.5) * s - 0.5
     K = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
@@ -611,7 +630,8 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
         prev.intensity[level], prev.depth[level], None,
         c_int, c_depth, c_ok, c_grad, c_gok,
         intr, krkinv, kt,
-        tcfg.min_grad_scale, tcfg.max_depth_delta, coord_stride=st,
+        tcfg.min_grad_scale, tcfg.max_depth_delta,
+        bilinear=(tex_kind != "nearest"), coord_stride=st,
         prev_tex=tex)
 
     f = f.reshape(-1)
@@ -691,6 +711,11 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             return ("tiled", jax.lax.optimization_barrier(
                 imgproc.warp_texture_tiled(prev.intensity[lvl],
                                            prev.depth[lvl])))
+        if not tcfg.rgb_bilinear:
+            # round-to-nearest needs only the raw 2-channel previous frame
+            # (reference photometric.cu:53-55)
+            return ("nearest", jax.lax.optimization_barrier(
+                jnp.stack([prev.intensity[lvl], prev.depth[lvl]], axis=-1)))
         return ("packed", jax.lax.optimization_barrier(
             imgproc.warp_texture(prev.intensity[lvl], prev.depth[lvl])))
 

@@ -179,3 +179,118 @@ def decode_fused(params: Dict[str, Any], spec: DecoderSpec,
     w_stack, b_stack = pack_fused_decoder(params, spec, compute_dtype)
     return decode_fused_packed(w_stack, b_stack, latent, xyz,
                                tile=tile, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused forward + input-gradient kernel (GN SDF term hot path)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_grad_kernel(xp_ref, w_ref, b_ref, out_ref):
+    """Forward pass + d(sdf)/d(xyz) backprop in ONE kernel.
+
+    The tracker's SDF term needs, per GN iteration, sdf(x), std(x) and the
+    3-vector gradient of sdf w.r.t. the query position (reference
+    compute_sdf_Hg, tracker.py:174-218, which pays a full autograd backward
+    through the decoder).  The XLA vjp re-reads every activation from HBM;
+    here the activations never leave VMEM: the backward recurrence
+
+        dh3 = (1 - sdf^2) * w_sdf;      dz3 = dh3 * [h3 > 0]
+        dh2 = dz3 @ W3a^T;              dz2 = dh2 * [h2 > 0]
+        dh1 = dz2 @ W2^T;               dz1 = dh1 * [h1 > 0]
+        dh0 = dz1 @ W1^T;               dz0 = dh0 * [h0 > 0]
+        dx  = dz3 @ W3b^T + dz0 @ W0^T          (xyz columns only)
+
+    runs right after the forward matmuls on the same VMEM tiles.  Only the
+    LAST 3 input columns (the xyz part; the latent is stop-gradiented in the
+    tracker) are emitted, as columns 2:5 of the (T, 8) output next to
+    (sdf, std).  relu' uses [h > 0], identical to JAX's relu vjp (0 at 0).
+    """
+    f32 = jnp.float32
+    dot = partial(jnp.dot, preferred_element_type=f32)
+    dot_t = partial(jax.lax.dot_general,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)        # a @ b^T
+    x = xp_ref[:]
+    cd = x.dtype
+    din = x.shape[1]
+
+    h0 = jax.nn.relu(dot(x, w_ref[0][:din]) + b_ref[0:1, :].astype(f32)).astype(cd)
+    h1 = jax.nn.relu(dot(h0, w_ref[1]) + b_ref[1:2, :].astype(f32)).astype(cd)
+    h2 = jax.nn.relu(dot(h1, w_ref[2]) + b_ref[2:3, :].astype(f32)).astype(cd)
+    z3 = dot(h2, w_ref[3]) + dot(x, w_ref[4][:din]) + b_ref[3:4, :].astype(f32)
+    h3 = jax.nn.relu(z3).astype(cd)
+    z = dot(h3, w_ref[5][:, :8]) + b_ref[4:5, :8].astype(f32)   # (T, 8)
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    sdf = jnp.tanh(z[:, 0:1])                                   # (T, 1)
+    fwd = jnp.where(col == 0, jnp.tanh(z), 0.05 + 0.5 * jax.nn.softplus(z))
+
+    # backward through the sdf head only (std is stop-gradiented upstream)
+    w_sdf = w_ref[5][:, 0].astype(f32)                          # (128,)
+    dh3 = ((1.0 - sdf * sdf) * w_sdf[None, :])                  # (T, 128) f32
+    dz3 = jnp.where(h3 > 0, dh3, 0.0).astype(cd)
+    dh2 = dot_t(dz3, w_ref[3])
+    dz2 = jnp.where(h2 > 0, dh2, 0.0).astype(cd)
+    dh1 = dot_t(dz2, w_ref[2])
+    dz1 = jnp.where(h1 > 0, dh1, 0.0).astype(cd)
+    dh0 = dot_t(dz1, w_ref[1])
+    dz0 = jnp.where(h0 > 0, dh0, 0.0).astype(cd)
+    # xyz rows of the input-side weights: din-3 .. din-1
+    gx = (dot_t(dz3, w_ref[4][din - 3:din])
+          + dot_t(dz0, w_ref[0][din - 3:din]))                  # (T, 3)
+
+    out = jnp.concatenate([fwd[:, :2], gx,
+                           jnp.zeros((gx.shape[0], 3), f32)], axis=1)
+    out_ref[:] = out
+
+
+def decode_grad_fused_packed(w_stack: jnp.ndarray, b_stack: jnp.ndarray,
+                             latent: jnp.ndarray, xyz: jnp.ndarray,
+                             tile: int = 512, interpret: bool = False
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused decode + input gradient from pre-packed weights:
+    (N, L), (N, 3) -> (sdf (N,), std (N,), dsdf_dxyz (N, 3)).
+
+    ``w_stack.dtype`` selects the matmul precision (f32/bf16; accumulation
+    and the transcendental heads/backward mask math stay f32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = latent.shape[0]
+    cd = w_stack.dtype
+    x = jnp.concatenate([latent, xyz], axis=1).astype(cd)
+    din, out_w = x.shape[1], 8
+    n_pad = max(tile, -(-n // tile) * tile)
+    if n_pad != n:
+        x = jnp.zeros((n_pad, din), cd).at[:n].set(x)
+
+    out = pl.pallas_call(
+        _mlp_grad_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, din), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, LANES, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, out_w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_w), jnp.float32),
+        interpret=interpret,
+    )(x, w_stack, b_stack)
+    return out[:n, 0], out[:n, 1], out[:n, 2:5]
+
+
+def decode_grad_fused(params: Dict[str, Any], spec: DecoderSpec,
+                      latent: jnp.ndarray, xyz: jnp.ndarray,
+                      compute_dtype=jnp.float32, tile: int = 512,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused (sdf, std, dsdf/dxyz): the one-kernel replacement for
+    decode + jax.vjp w.r.t. xyz with the latent stop-gradiented (exactly
+    what the GN SDF term needs, core/tracker._sdf_term)."""
+    w_stack, b_stack = pack_fused_decoder(params, spec, compute_dtype)
+    return decode_grad_fused_packed(w_stack, b_stack, latent, xyz,
+                                    tile=tile, interpret=interpret)

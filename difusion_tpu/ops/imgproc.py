@@ -641,7 +641,11 @@ def rgb_odometry(prev_intensity: jnp.ndarray, prev_depth: jnp.ndarray,
         d0 = jnp.where(sv, jnp.where(su, taps[..., 7], taps[..., 6]),
                        jnp.where(su, taps[..., 5], taps[..., 4]))
     else:
-        tex = jnp.stack([prev_intensity, prev_depth], axis=-1)
+        # round-to-nearest intensity + depth (exact reference semantics,
+        # photometric.cu:53-55); prev_tex here is the plain 2-channel
+        # [intensity, depth] stack (iteration-invariant, caller-hoisted)
+        tex = prev_tex if prev_tex is not None \
+            else jnp.stack([prev_intensity, prev_depth], axis=-1)
         tap = tex[v0c, u0c]
         prev_val = tap[..., 0]
         d0 = tap[..., 1]

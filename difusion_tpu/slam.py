@@ -44,12 +44,13 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("tcfg", "map_cfg", "spec", "calib",
-                                   "h", "w"))
+                                   "h", "w", "with_merge"))
 def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
                     calib: Intrinsic, dec_params, enc_params, state,
                     last_R, last_t, prev_pyr, rgb_weight, n_unstable,
                     delta_R, delta_t, packed_chunk, do_integrate, h: int,
-                    w: int):
+                    w: int, merge_at=None, merge_args=None,
+                    with_merge: bool = False):
     """K sequential frame steps (unpack + preprocess + GN track + optional
     encoder fusion) as ONE ``lax.scan`` dispatch.
 
@@ -65,17 +66,32 @@ def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
     byte-plane buffers ((K, h, 16w) for the lossless f32 packing).  ``do_integrate``: (K,) bool -- fuse that frame's point cloud
     into the map after tracking (the ``integrate_interval`` schedule).
     Returns (carry, (Rs, ts, energies)) where carry holds the final map
-    state, tracker temporal state, and the LAST frame's processed point
+    state, tracker temporal state, the LAST frame's processed point
     cloud (pts_cam, normals_cam, pc_mask) so the caller can refresh
     ``tracker.last_processed`` -- a later per-frame integrate must fuse this
-    chunk's final frame, not a stale pre-chunk one.
+    chunk's final frame, not a stale pre-chunk one -- and the last
+    INTEGRATED frame's world-space point cloud (int_pts, int_nrm, int_mask)
+    so the caller can build latent-optimization samples for that keyframe.
+
+    ``with_merge`` (static): fold a pending latent-optimizer result into the
+    map inside the scan, at the step(s) flagged by ``merge_at`` (K,) bool --
+    the per-frame path merges at the START of an integrate
+    (:meth:`SLAMSystem.process_frame`; reference map.py:360-363), so the
+    chunked path applies the merge at the chunk's first integrate frame,
+    keeping intermediate frames tracking against the same (un-merged)
+    latents as the per-frame path.  ``merge_args`` = (old_latents,
+    new_latents, old_counts, touched, snap_opt_overflow).
     """
     integrate = (HM.integrate_keyframe if isinstance(map_cfg, HM.HashMapConfig)
                  else M.integrate_keyframe)
 
     def step(carry, inp):
-        state, lR, lt, prev, rw, nu, dR, dt, _, _, _ = carry
-        packed, integ = inp
+        (state, lR, lt, prev, rw, nu, dR, dt, _, _, _,
+         ipts, inrm, imask) = carry
+        if with_merge:
+            packed, integ, mnow = inp
+        else:
+            packed, integ = inp
         cur = tracker_mod.preprocess_frame_packed(tcfg, calib, packed, h, w)
         if tcfg.motion_prior == "constant_velocity":
             iR, it = dR, dt
@@ -86,25 +102,41 @@ def track_fuse_scan(tcfg: TrackerConfig, map_cfg, spec: DecoderSpec,
                                        state, lR, lt, prev, cur, rw, nu,
                                        iR, it)
 
+        w_pts = cur.pts_cam @ res.final_R.T + res.final_t
+        w_nrm = cur.normals_cam @ res.final_R.T
+
         def fuse(st):
-            w_pts = cur.pts_cam @ res.final_R.T + res.final_t
-            w_nrm = cur.normals_cam @ res.final_R.T
+            if with_merge:
+                def apply_merge(s):
+                    old_lat, new_lat, old_cnt, touched, snap_of = merge_args
+                    s = M.merge_optimize_result(s, old_lat, new_lat,
+                                                old_cnt, touched)
+                    return s._replace(opt_overflow=jnp.maximum(
+                        s.opt_overflow, snap_of))
+                st = jax.lax.cond(mnow, apply_merge, lambda s: s, st)
             return integrate(map_cfg, enc_params, st, w_pts, w_nrm,
                              cur.pc_mask)
 
         state = jax.lax.cond(integ, fuse, lambda st: st, state)
+        ipts = jnp.where(integ, w_pts, ipts)
+        inrm = jnp.where(integ, w_nrm, inrm)
+        imask = jnp.where(integ, cur.pc_mask, imask)
         carry = (state, res.final_R, res.final_t, cur.pyramid,
                  res.rgb_weight, res.n_unstable, res.delta_R, res.delta_t,
-                 cur.pts_cam, cur.normals_cam, cur.pc_mask)
+                 cur.pts_cam, cur.normals_cam, cur.pc_mask,
+                 ipts, inrm, imask)
         return carry, (res.final_R, res.final_t, res.final_energy)
 
     # seed the point-cloud carry slots with correctly-shaped zeros; K >= 1,
     # so the outputs always come from a real frame
     budget = tcfg.point_budget
+    zpts = jnp.zeros((budget, 3), jnp.float32)
+    zmask = jnp.zeros(budget, bool)
     carry0 = (state, last_R, last_t, prev_pyr, rgb_weight, n_unstable,
-              delta_R, delta_t, jnp.zeros((budget, 3), jnp.float32),
-              jnp.zeros((budget, 3), jnp.float32), jnp.zeros(budget, bool))
-    return jax.lax.scan(step, carry0, (packed_chunk, do_integrate))
+              delta_R, delta_t, zpts, zpts, zmask, zpts, zpts, zmask)
+    xs = ((packed_chunk, do_integrate, merge_at) if with_merge
+          else (packed_chunk, do_integrate))
+    return jax.lax.scan(step, carry0, xs)
 
 
 def load_prior(hyper_path: str, use_epoch: int = -1):
@@ -342,27 +374,62 @@ class SLAMSystem:
         once after the chunk, which matches the reference's behavior of
         meshing on integrate frames when ``meshing_interval`` divides the
         chunk size.  Frame 0 must have been processed via
-        :meth:`process_frame` first (it seeds the pose).  Latent optimize is
-        a host-scheduled path and is not folded into the scan.
+        :meth:`process_frame` first (it seeds the pose).
+
+        Latent optimization composes with the chunked dispatch (the
+        reference's whole OptimizeProcess design is optimization CONCURRENT
+        with tracking, map.py:29-113,498-513): a pending optimizer result is
+        merged inside the scan at the chunk's first integrate frame (same
+        point in the schedule as the per-frame path), and after the chunk a
+        new ``optimize_latents`` round runs on the chunk's last integrated
+        keyframe -- XLA dispatches it asynchronously, so it overlaps the
+        next chunk's host-side packing the way the reference's aux-GPU
+        process overlaps tracking.  With one integrate per chunk this is
+        step-for-step identical to the per-frame interleaved path (tested);
+        with several, optimization runs once per chunk on the last keyframe.
         """
         assert self.tracker.n_tracked > 0, "process frame 0 first (set_pose)"
-        assert not self.latent_optimize, \
-            "latent_optimize uses the per-frame path"
         assert not self.use_gt_poses, \
             "gt-pose (mapping-only) mode uses the per-frame path"
         K = int(packed_chunk.shape[0])
         start = self.tracker.n_tracked
+        integ_idx = [k for k in range(K)
+                     if (start + k) % self.integrate_interval == 0]
         do_integrate = jnp.asarray(
             [(start + k) % self.integrate_interval == 0 for k in range(K)])
+        merge_at, merge_args, with_merge = None, None, False
+        if self._pending_opt is not None and integ_idx:
+            old_lat, old_cnt, pre_optimized, opt_state = self._pending_opt
+            touched = opt_state.optimized & ~pre_optimized
+            merge_args = (old_lat, opt_state.latents, old_cnt, touched,
+                          opt_state.opt_overflow)
+            merge_at = jnp.asarray([k == integ_idx[0] for k in range(K)])
+            with_merge = True
+            self._pending_opt = None
         tr = self.tracker
         carry, (Rs, ts, energies) = track_fuse_scan(
             tr.tcfg, self.map_cfg, self.spec, tr.calib, self.dec_params,
             self.enc_params, self.state, tr.last_pose.R, tr.last_pose.t,
             tr.last_pyramid, tr.rgb_weight, tr.n_unstable,
             tr.last_delta.R, tr.last_delta.t, packed_chunk, do_integrate,
-            h, w)
+            h, w, merge_at=merge_at, merge_args=merge_args,
+            with_merge=with_merge)
         (self.state, _, _, tr.last_pyramid, tr.rgb_weight, tr.n_unstable,
-         dR, dt, last_pts, last_nrm, last_mask) = carry
+         dR, dt, last_pts, last_nrm, last_mask,
+         int_pts, int_nrm, int_mask) = carry
+        if self.latent_optimize and integ_idx:
+            self._opt_key, sub = jax.random.split(self._opt_key)
+            slot_ids, rel, gt, mask = self._map_mod.build_optimize_samples(
+                self.map_cfg, self.state, int_pts, int_nrm, int_mask, sub)
+            opt_state = self._map_mod.optimize_latents(
+                self.map_cfg, self.dec_params, self.spec, self.state,
+                slot_ids, rel, gt, mask, n_iters=self.optim_n_iters,
+                code_reg_lambda=self.code_reg_lambda)
+            if self.latent_optimize_mode == "sync":
+                self.state = opt_state
+            else:
+                self._pending_opt = (self.state.latents, self.state.obs_count,
+                                     self.state.optimized, opt_state)
         tr.last_delta = tracker_mod.Pose(dR, dt)
         # keep last_processed fresh: a later per-frame integrate step fuses
         # via tracker.last_pc_world, which must see THIS chunk's final frame
@@ -391,17 +458,16 @@ class SLAMSystem:
 
         ``chunk > 1`` batches that many frames into one
         :func:`track_fuse_scan` dispatch (same semantics, see
-        :meth:`process_chunk`; requires ``latent_optimize`` off).  On remote
-        transports this amortizes the per-dispatch RPC; poses are identical
-        to the per-frame path (tests/test_scan.py)."""
+        :meth:`process_chunk`; composes with ``latent_optimize``).  On
+        remote transports this amortizes the per-dispatch RPC; poses are
+        identical to the per-frame path (tests/test_scan.py)."""
         import queue
         import threading
 
         n = len(sequence) if max_frames < 0 else min(max_frames, len(sequence))
         self.first_iso = self.first_iso or sequence.first_iso
         start = self.tracker.n_tracked   # this call's slice of the history
-        use_chunk = chunk if (chunk > 1 and not self.latent_optimize
-                              and not self.use_gt_poses) else 0
+        use_chunk = chunk if (chunk > 1 and not self.use_gt_poses) else 0
 
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 

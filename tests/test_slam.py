@@ -402,3 +402,48 @@ def test_slam_hash_with_latent_optimization(prior):
     result = system.run_sequence(seq)
     assert result["ate_rmse"] < 0.02, result
     assert bool(np.asarray(system.state.optimized).any())
+
+
+def test_interactive_driver_scripted_stdin(prior, tmp_path, monkeypatch):
+    """The --interactive terminal loop (slam.py run_interactive; the
+    reference GUI's ','/'.'-key callbacks, main.py:136-148) driven by a
+    scripted command sequence: step, info, mesh, render, free-run, quit."""
+    seq = SyntheticSequence(n_frames=8, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    system = _system(prior)
+    cmds = iter(["i",          # info before any frame ("no frames tracked")
+                 "s",          # step frame 0
+                 "",           # empty = step frame 1
+                 "m",          # mesh now
+                 "v",          # render a view PNG
+                 "i",          # info with a pose
+                 "r 3",        # free-run 3 frames (-> 5 tracked)
+                 "bogus",      # unknown op falls through to step (-> 6)
+                 "q"])         # quit early
+    monkeypatch.setattr("builtins.input", lambda _="": next(cmds))
+    result = system.run_interactive(seq, out_dir=str(tmp_path))
+
+    assert result["n_frames"] == 6          # q stopped before frame 7
+    assert result["n_voxels"] > 50
+    assert "ate_rmse" in result and result["ate_rmse"] < 0.02, result
+    pngs = list(tmp_path.glob("view_*.png"))
+    assert len(pngs) == 1 and pngs[0].stat().st_size > 1000
+    tris, _ = system.mesher.triangles()
+    assert len(tris) > 100
+
+
+def test_interactive_driver_eof_free_runs(prior, monkeypatch):
+    """EOF on stdin (piped/closed input) free-runs to the end instead of
+    crashing -- the CLI stays usable under `... < /dev/null`."""
+    seq = SyntheticSequence(n_frames=5, h=120, w=160,
+                            calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                            corrugation=0.1, motion_scale=0.6)
+    system = _system(prior, meshing=False)
+
+    def raise_eof(_=""):
+        raise EOFError
+    monkeypatch.setattr("builtins.input", raise_eof)
+    result = system.run_interactive(seq)
+    assert result["n_frames"] == 5
+    assert result["ate_rmse"] < 0.02, result

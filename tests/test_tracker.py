@@ -151,18 +151,24 @@ def test_sdf_term_gradient_consistency():
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint unavailable")
 @pytest.mark.slow
-@pytest.mark.parametrize("warp_tiled", [False, True])
-def test_two_frame_tracking_recovers_pose(warp_tiled):
+@pytest.mark.parametrize("variant", ["packed", "tiled", "strict"])
+def test_two_frame_tracking_recovers_pose(variant):
     """Integrate a wall at a known pose, then track a second frame rendered
     from a perturbed camera; the GN solve should recover the true motion.
-    Runs both warp texture layouts (per-pixel packed and block-tiled)."""
+    Runs both warp texture layouts (per-pixel packed and block-tiled) plus
+    the literal-parity numerics (round-to-nearest reprojection + full-res K
+    at all levels, reference photometric.cu:44-55 / tracker.py:133-136)."""
     from difusion_tpu.models import torch_import as TI
     dec_t, enc_t, spec_d, spec_e, _ = TI.load_torch_prior(conftest.REFERENCE_CKPT, 300)
     dec = fold_decoder_params(jax.tree.map(jnp.asarray, dec_t))
     enc = fold_encoder_params(jax.tree.map(jnp.asarray, enc_t))
 
     cfg = small_cfg(prune_min_vox_obs=4, ignore_count_th=1.0)
-    tcfg = T.TrackerConfig(point_budget=8192, warp_tiled=warp_tiled)
+    kw = {"packed": dict(warp_tiled=False),
+          "tiled": dict(warp_tiled=True),
+          "strict": dict(warp_tiled=False, rgb_bilinear=False,
+                         rgb_fullres_K=True)}[variant]
+    tcfg = T.TrackerConfig(point_budget=8192, **kw)
     pose0 = Isometry()   # at origin, +z towards the wall at z=2
 
     rgb0, depth0, ok0 = render_surface_frame(pose0, CALIB, corrugation=0.1)

@@ -10,14 +10,18 @@ Sequences (ICL-format on disk, decoded through the full production path):
   mapped at the start -- tracking against an OLD map, the SLAM failure mode
   forward drift never exercises; clean and degraded.
 
-Per sequence, three tracker configurations run:
+Per sequence, the tracker configurations that run by default:
 
 * defaults: reference numerics (rgb stride 1, f32 decoder evals) with
-  early-exit tolerances on -- 88 fps resident on one chip
-* reference parity: tolerances 0 as well (exact reference tracker.py:131-283
-  scheduling and numerics)
-* speed opt-in: rgb_stride=2, bf16 decoder evals (f32 final group) -- the
-  knobs for throughput-bound deployments
+  early-exit tolerances on
+* parity: reference tracker.py:131-283 SCHEDULING exactly (tolerances 0,
+  per-pixel warp); keeps the better-tracking bilinear warp + per-level K
+* parity_strict: literal reference warp NUMERICS on top of parity --
+  round-to-nearest reprojection (photometric.cu:44-55) and full-res K at
+  every pyramid level (tracker.py:133-136)
+* speed: the SHIPPED speed preset -- rgb_stride=[1, 2, 2] (L0 stays dense;
+  the block-tiled bf16 texture makes full-res L0 as cheap as strided) +
+  bf16 decoder evals (f32 final group)
 
 and each run reports ATE, throughput, and the quantitative mesh error
 against the analytic surface (difusion_tpu.data.production.mesh_error_stats)
@@ -60,10 +64,19 @@ def _tracking_args(variant: str = "default"):
         targs.xi_tol = 0.0       # (defaults are already stride-1 f32)
         targs.energy_rel_tol = 0.0
         targs.warp_tiled = False
+    elif variant == "parity_strict":
+        # parity + literal reference warp numerics: round-to-nearest
+        # reprojection (photometric.cu:44-55) and full-res K at all levels
+        # (tracker.py:133-136)
+        targs.xi_tol = 0.0
+        targs.energy_rel_tol = 0.0
+        targs.warp_tiled = False
+        targs.rgb_bilinear = False
+        targs.rgb_fullres_K = True
     elif variant == "speed":
-        # L0 stays stride 1 (the block-tiled bf16 texture makes full-res L0
-        # as cheap as strided: 186 vs 185 fps resident measured) -- only the
-        # coarse levels stride, plus bf16 decoder evals (f32 final group)
+        # the SHIPPED preset: L0 stays stride 1 (the block-tiled bf16
+        # texture makes full-res L0 as cheap as strided) -- only the coarse
+        # levels stride, plus bf16 decoder evals (f32 final group)
         targs.rgb_stride = [1, 2, 2]
         targs.sdf_compute_dtype = "bfloat16"
     elif variant == "packed":    # default scheduling, per-pixel warp texture
@@ -153,7 +166,8 @@ def main(argv=None):
     parser.add_argument("--skip-optimize-ab", action="store_true")
     parser.add_argument("--only", default="",
                         help="substring filter on sequence names")
-    parser.add_argument("--variants", default="default,parity,speed",
+    parser.add_argument("--variants",
+                        default="default,parity,parity_strict,speed",
                         help="comma list of tracker configs to run")
     args = parser.parse_args(argv)
 
