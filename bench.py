@@ -203,7 +203,8 @@ def main(resident_only: bool = False):
             if r.get("region_ms"):
                 line["region_ms"] = r["region_ms"]
             for k in ("decoder_mfu", "overall_mfu", "measured_peak_tflops",
-                      "program_gflops_per_frame"):
+                      "program_gflops_per_frame", "hbm_gb_per_frame",
+                      "hbm_roofline_frac", "measured_hbm_gbps"):
                 if k in r:
                     line[k] = r[k]
         except Exception:

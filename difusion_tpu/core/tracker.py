@@ -151,6 +151,21 @@ class TrackerConfig(NamedTuple):
     # packing (16 bytes/pixel vs 3): bit-exact against the direct
     # preprocess_frame API, for parity/debug runs
     lossless_packing: bool = False
+    # GN SDF term through the fused Pallas forward+gradient decoder kernel
+    # (ops/decoder_fused.decode_grad_fused: whole MLP + dsdf/dxyz backprop
+    # in ONE kernel, weights VMEM-resident).  MEASURED NEGATIVE at tracker
+    # scale, hence default "off": interleaved A/B on one TPU chip (round 4,
+    # 3 passes each, run twice) gives 172.9/171.0 fps resident with the XLA
+    # forward+vjp vs 167.1/167.3 fused -- at N=8192 points the XLA path's
+    # activations stay cache-resident and fuse into the gather/epilogue,
+    # so the kernel's HBM-traffic win (1.27-1.37x at the mesher's ~1M-site
+    # batches, where it IS the default) does not transfer, while the
+    # custom-call boundary materializes its (N,32) input and (N,8) output.
+    # "auto" = on for TPU when the architecture is supported, "on" forces
+    # it (CPU runs interpret mode).  Numerics are identical either way
+    # (2e-6 kernel parity, test_decoder_fused.py; term-level parity,
+    # test_tracker.py::test_sdf_term_fused_matches_vjp).
+    sdf_fused: str = "off"
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -195,6 +210,7 @@ class TrackerConfig(NamedTuple):
                                       d["rgb_bilinear"])),
             rgb_fullres_K=bool(getattr(args, "rgb_fullres_K",
                                        d["rgb_fullres_K"])),
+            sdf_fused=str(getattr(args, "sdf_fused", d["sdf_fused"])),
         )
 
 
@@ -512,29 +528,64 @@ def _robust_weight(x: jnp.ndarray, kind: str, k: float) -> jnp.ndarray:
     raise NotImplementedError(f"robust kernel {kind!r}")
 
 
+def resolve_sdf_fused(tcfg: "TrackerConfig", spec: DecoderSpec) -> bool:
+    """Static (trace-time) decision for the fused SDF-term kernel."""
+    if tcfg.sdf_fused == "off":
+        return False
+    from ..ops import decoder_fused
+    supported = decoder_fused.supports_spec(spec)
+    if tcfg.sdf_fused == "on":
+        if not supported:
+            raise ValueError(f"sdf_fused='on' but {spec} is unsupported")
+        return True
+    assert tcfg.sdf_fused == "auto", tcfg.sdf_fused
+    # Pallas TPU kernels do not execute on the CPU backend
+    return supported and jax.default_backend() != "cpu"
+
+
 def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               state: M.MapState, last: Pose, delta: Pose,
               pts: jnp.ndarray, mask: jnp.ndarray, robust_kernel: str,
               robust_k: float, compute_dtype=jnp.float32,
-              aug_table: jnp.ndarray = None):
+              aug_table: jnp.ndarray = None, fused: bool = False):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
     (reference compute_sdf_Hg, tracker.py:174-218).  ``aug_table`` is the
     caller's per-frame :func:`~difusion_tpu.core.map.latent_count_table`
-    (one row gather per query instead of latents + obs_count)."""
+    (one row gather per query instead of latents + obs_count).
+
+    ``fused=True`` routes the decode + position-gradient through the
+    single-kernel Pallas path (ops/decoder_fused.decode_grad_fused) instead
+    of XLA forward + vjp; the chain factors applied here --
+    ``d rel/d x = 1/voxel_size`` (gather_latent_rel contract) and
+    ``d x/d y = R_last`` (Pose.apply is ``y @ R.T + t``) -- reproduce the
+    vjp exactly (2e-6 kernel parity + pose-level test)."""
     y = delta.apply(pts)
 
-    query = (HM.query_sdf if isinstance(map_cfg, HM.HashMapConfig)
-             else M.query_sdf)
+    is_hash = isinstance(map_cfg, HM.HashMapConfig)
+    if fused:
+        from ..ops import decoder_fused
+        gather = HM.gather_latent_rel if is_hash else M.gather_latent_rel
+        x = last.apply(y)
+        latent, rel, valid = gather(map_cfg, state, x, aug_table)
+        sdf, std, grel = decoder_fused.decode_grad_fused(
+            dec_params, spec, latent, rel, compute_dtype=compute_dtype,
+            # sdf_fused="on" under the CPU test backend runs the kernel in
+            # interpret mode (slow but exact) -- parity tests rely on this
+            interpret=jax.default_backend() == "cpu")
+        r = sdf / std
+        G = (grel / (std[:, None] * map_cfg.voxel_size)) @ last.R
+    else:
+        query = HM.query_sdf if is_hash else M.query_sdf
 
-    def residual(y_pts):
-        x = last.apply(y_pts)
-        sdf, std, valid = query(map_cfg, dec_params, spec, state, x,
-                                compute_dtype=compute_dtype,
-                                aug_table=aug_table)
-        return sdf / jax.lax.stop_gradient(std), valid
+        def residual(y_pts):
+            x = last.apply(y_pts)
+            sdf, std, valid = query(map_cfg, dec_params, spec, state, x,
+                                    compute_dtype=compute_dtype,
+                                    aug_table=aug_table)
+            return sdf / jax.lax.stop_gradient(std), valid
 
-    r, vjp_fn, valid = jax.vjp(residual, y, has_aux=True)
-    (G,) = vjp_fn(jnp.ones_like(r))                       # (N, 3) dr/dy
+        r, vjp_fn, valid = jax.vjp(residual, y, has_aux=True)
+        (G,) = vjp_fn(jnp.ones_like(r))                   # (N, 3) dr/dy
 
     ok = mask & valid
     r = jnp.where(ok, r, 0.0)
@@ -725,6 +776,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     # outside the GN while_loops (the barrier keeps it from sinking into
     # them): every SDF query then needs one row gather instead of two
     aug_table = jax.lax.optimization_barrier(M.latent_count_table(state))
+    sdf_fused = resolve_sdf_fused(tcfg, spec)
 
     def eval_Hg(delta: Pose, terms, is_last_group: bool):
         H = jnp.zeros((6, 6), jnp.float32)
@@ -741,7 +793,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                                        delta, cur.pts_cam, cur.pc_mask,
                                        tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
                                        compute_dtype=sdf_dtype,
-                                       aug_table=aug_table)
+                                       aug_table=aug_table, fused=sdf_fused)
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur_levels[int(term[1])],

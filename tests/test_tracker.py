@@ -148,6 +148,39 @@ def test_sdf_term_gradient_consistency():
         assert np.isclose(2 * g[k], dE, rtol=5e-2, atol=1e-4), (k, 2 * g[k], dE)
 
 
+def test_sdf_term_fused_matches_vjp():
+    """The fused Pallas decode+gradient SDF term (round-3 verdict item 5)
+    must reproduce the XLA forward+vjp term's H, g, E at f32 tolerance
+    (interpret mode on CPU; the kernel itself is parity-tested in
+    tests/test_decoder_fused.py)."""
+    cfg = small_cfg()
+    dec = fold_decoder_params(init_decoder_params(SPEC_D, jax.random.key(0)))
+    state, cells = _random_map_with_latents(cfg)
+
+    rng = np.random.default_rng(5)
+    cell_xyz = np.stack(np.unravel_index(cells[:512], cfg.n_xyz), axis=1)
+    pts = (cell_xyz + rng.uniform(0.1, 0.9, (512, 3))) * cfg.voxel_size \
+        + np.asarray(cfg.bound_min)
+    pts = jnp.asarray(pts.astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=512) > 0.1)
+
+    last = Pose(jnp.asarray(Isometry.random(np.random.default_rng(6))
+                            .q.rotation_matrix.astype(np.float32)),
+                jnp.asarray(rng.normal(0, 0.01, 3).astype(np.float32)))
+    delta = exp_twist(jnp.asarray(
+        rng.normal(0, 0.005, 6).astype(np.float32)))
+    pts_cam = (pts - last.t) @ last.R
+
+    kw = dict(robust_kernel="huber", robust_k=5.0)
+    H0, g0, E0 = T._sdf_term(cfg, dec, SPEC_D, state, last, delta, pts_cam,
+                             mask, fused=False, **kw)
+    H1, g1, E1 = T._sdf_term(cfg, dec, SPEC_D, state, last, delta, pts_cam,
+                             mask, fused=True, **kw)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+    np.testing.assert_allclose(float(E1), float(E0), atol=1e-5)
+
+
 @pytest.mark.skipif(not conftest.reference_ckpt_available(),
                     reason="reference checkpoint unavailable")
 @pytest.mark.slow

@@ -42,6 +42,8 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 HYPER = "/root/reference/pytorch/ckpt/default/hyper.json"
@@ -158,12 +160,75 @@ def run_mapping_only(frames: int, latent_optimize: bool):
     return out
 
 
+def run_scannet_long(frames: int = 300, chunk: int = 10):
+    """Long-horizon ScanNet-format run (BASELINE config 4 at study scale,
+    round-3 verdict item 9): hash-indexed map, incremental meshing ON at the
+    integrate cadence, chunked dispatch.  Records ATE, the capacity-pressure
+    overflow counters, and per-extract host transfer bytes (the incremental
+    mesher's ``last_transfer_bytes``)."""
+    from difusion_tpu.core import hash_map as HM
+    from difusion_tpu.core.tracker import TrackerConfig
+    from difusion_tpu.data.production import ScanNetSequence, mesh_error_stats
+    from difusion_tpu.slam import SLAMSystem, load_prior
+
+    d = Path("/tmp/acc_study") / f"scannet{frames}"
+    if not (d / "intrinsic" / "intrinsic_depth.txt").exists():
+        from tools.make_synthetic_scannet import main as make_scannet
+        make_scannet(str(d), frames)
+    seq = ScanNetSequence(path=str(d), load_gt=True)
+
+    dec, enc, spec = load_prior(HYPER, 300)
+    map_cfg = HM.HashMapConfig(voxel_size=0.1, latent_dim=29,
+                               capacity=1 << 16, table_size=1 << 18,
+                               prune_min_vox_obs=16, ignore_count_th=16.0,
+                               encoder_count_th=600.0)
+    system = SLAMSystem(map_cfg,
+                        TrackerConfig.from_args(_tracking_args("default"),
+                                                point_budget=1 << 13),
+                        dec, enc, spec, seq.calib,
+                        integrate_interval=20, depth_cut=(0.3, 6.0),
+                        meshing=True, meshing_interval=20, mesh_resolution=4)
+    transfer_bytes = []
+    inner_extract = system.mesher.extract
+
+    def recording_extract(state, max_std=0.15, **kw):
+        out = inner_extract(state, max_std=max_std, **kw)
+        transfer_bytes.append(int(system.mesher.last_transfer_bytes))
+        return out
+
+    system.mesher.extract = recording_extract
+    t0 = time.perf_counter()
+    result = system.run_sequence(seq, max_frames=frames, chunk=chunk)
+    dt = time.perf_counter() - t0
+
+    out = {"seq": f"scannet{frames}-synth", "config": "default+hash",
+           "ate_rmse": result.get("ate_rmse", float("nan")),
+           "fps": result["n_frames"] / dt,
+           "n_voxels": result["n_voxels"],
+           "alloc_overflow": result["alloc_overflow"],
+           "opt_overflow": result["opt_overflow"],
+           "n_extracts": len(transfer_bytes),
+           "extract_transfer_bytes_mean": (float(np.mean(transfer_bytes))
+                                           if transfer_bytes else 0.0),
+           "extract_transfer_bytes_max": (int(np.max(transfer_bytes))
+                                          if transfer_bytes else 0)}
+    system.mesher.extract = inner_extract
+    system.state = system.mesher.extract(system.state, max_std=0.25,
+                                         no_cache=True)
+    out.update(mesh_error_stats(system.mesher.triangles()[0]))
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=120)
     parser.add_argument("--loop-frames", type=int, default=300)
     parser.add_argument("--out", default="/tmp/acc_study")
     parser.add_argument("--skip-optimize-ab", action="store_true")
+    parser.add_argument("--scannet", type=int, default=0,
+                        help="ALSO run the long-horizon ScanNet-format row "
+                             "with this many frames (hash map, incremental "
+                             "meshing, chunked)")
     parser.add_argument("--only", default="",
                         help="substring filter on sequence names")
     parser.add_argument("--variants",
@@ -202,6 +267,19 @@ def main(argv=None):
                   f"mesh_err={r.get('mesh_err_mean', float('nan')):.4f} m  "
                   f"{r['fps']:.1f} fps", flush=True)
 
+    scannet = None
+    if args.scannet > 0:
+        scannet = run_scannet_long(args.scannet)
+        print(f"[{scannet['seq']}] ate_rmse={scannet['ate_rmse']:.4f} m  "
+              f"mesh_err={scannet.get('mesh_err_mean', float('nan')):.4f} m  "
+              f"{scannet['fps']:.1f} fps  "
+              f"alloc_overflow={scannet['alloc_overflow']} "
+              f"opt_overflow={scannet['opt_overflow']}  "
+              f"extract transfer mean "
+              f"{scannet['extract_transfer_bytes_mean'] / 1e6:.2f} MB "
+              f"(max {scannet['extract_transfer_bytes_max'] / 1e6:.2f})",
+              flush=True)
+
     ab = []
     if not args.skip_optimize_ab and not args.only:
         for opt in (False, True):
@@ -227,8 +305,10 @@ def main(argv=None):
             print(f"| {lab} | {r['mesh_err_mean']:.4f} | {r['mesh_err_p95']:.4f} |")
 
     out.mkdir(parents=True, exist_ok=True)
-    (out / "results.json").write_text(json.dumps(
-        {"slam": rows, "mapping_only_ab": ab}, indent=2))
+    payload = {"slam": rows, "mapping_only_ab": ab}
+    if scannet is not None:
+        payload["scannet_long"] = scannet
+    (out / "results.json").write_text(json.dumps(payload, indent=2))
 
 
 if __name__ == "__main__":

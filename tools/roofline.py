@@ -109,6 +109,186 @@ def build_fusion_classifier(hlo_text: str):
     return fusion_family
 
 
+# -- execution-weighted FLOP / HBM-byte accounting ---------------------------
+#
+# XLA's cost_analysis counts while-loop bodies ONCE, which is useless for a
+# tracker whose GN loop iterates a data-dependent ~10-70 times.  Instead:
+# parse per-INSTRUCTION flops/bytes from the compiled HLO text, then weight
+# by actual execution counts from the profiler trace (every fusion execution
+# is its own event) -- measured, loop-exact whole-program arithmetic.
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s64": 8,
+                "u64": 8, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+                "f64": 8, "c64": 8}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_info(type_str):
+    """'f32[8192,128]{...}' -> (dims tuple, bytes)."""
+    m = _SHAPE_RE.match(type_str)
+    if not m:
+        return (), 0
+    dt, dims = m.group(1), m.group(2)
+    shape = tuple(int(d) for d in dims.split(",") if d) if dims else ()
+    n = 1
+    for d in shape:
+        n *= d
+    return shape, n * _DTYPE_BYTES.get(dt, 4)
+
+
+def _dot_flops(line: str) -> float:
+    """FLOPs of one HLO dot line: 2 * prod(result) * prod(contracted lhs
+    dims).  Operand types are printed inline in compiled HLO text."""
+    m = re.search(r"= (\w+\[[\d,]*\])\S* dot\((\w+\[[\d,]*\])", line)
+    if not m:
+        return 0.0
+    out_shape, _ = _shape_info(m.group(1))
+    lhs_shape, _ = _shape_info(m.group(2))
+    mc = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", line)
+    k = 1
+    for d in (mc.group(1).split(",") if mc and mc.group(1) else []):
+        k *= lhs_shape[int(d)] if int(d) < len(lhs_shape) else 1
+    out = 1
+    for d in out_shape:
+        out *= d
+    return 2.0 * out * k
+
+
+def _conv_flops(line: str) -> float:
+    """Approximate FLOPs of one HLO convolution line:
+    2 * prod(output) * prod(window) * input_features."""
+    m = re.search(r"= (\w+\[[\d,]*\])\S* convolution\((\w+\[[\d,]*\])", line)
+    if not m:
+        return 0.0
+    out_shape, _ = _shape_info(m.group(1))
+    lhs_shape, _ = _shape_info(m.group(2))
+    win = 1
+    mw = re.search(r"window=\{size=([\dx]+)", line)
+    if mw:
+        for d in mw.group(1).split("x"):
+            win *= int(d)
+    feat = 1
+    md = re.search(r"dim_labels=(\w+)_", line)
+    if md and "f" in md.group(1):
+        fi = md.group(1).index("f")
+        feat = lhs_shape[fi] if fi < len(lhs_shape) else 1
+    out = 1
+    for d in out_shape:
+        out *= d
+    return 2.0 * out * win * feat
+
+
+def _decoder_row_flops(fwd_only: bool) -> float:
+    """Analytic matmul FLOPs per input row of the fused Pallas decoder
+    kernels (ops/decoder_fused: forward 6 dots; the grad kernel adds 3
+    128x128 backward dots + 2 128x3 input-gradient dots)."""
+    din = 32
+    fwd = 2.0 * (din * 128 + 128 * 128 + 128 * 128
+                 + 128 * 128 + din * 128 + 128 * 8)
+    if fwd_only:
+        return fwd
+    bwd = 2.0 * (3 * 128 * 128 + 2 * 128 * 3)
+    return fwd + bwd
+
+
+def build_fusion_costs(hlo_text: str):
+    """instruction/fusion name -> (flops, hbm_bytes) per execution.
+
+    * fusion: dot/conv FLOPs summed over its called computation; bytes =
+      inline operand types + result type (fusions stream operands from HBM
+      and write the result back -- VMEM reuse of a shared operand makes
+      this a slight over-count, acceptable for a roofline).
+    * pallas custom-call (the fused decoder): analytic FLOPs per row
+      (weights are VMEM-resident; HBM bytes = inputs + outputs).
+    * top-level dot/convolution instructions count directly.
+    """
+    comp_flops = {}
+    cur = None
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*%?([\w.\-]+)\s+\([^)]*\)\s*->", line)
+        if m and line.rstrip().endswith("{"):
+            cur = m.group(1)
+            comp_flops[cur] = 0.0
+            continue
+        if cur is not None:
+            if line.strip().startswith("}"):
+                cur = None
+                continue
+            if " dot(" in line:
+                comp_flops[cur] += _dot_flops(line)
+            elif " convolution(" in line:
+                comp_flops[cur] += _conv_flops(line)
+
+    costs = {}
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*%?([\w.\-]+) = (\w+\[[\d,]*\]|\()(.*)", line)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2) + m.group(3)
+        # bytes: result type(s) + inline operand types
+        _, out_b = _shape_info(m.group(2)) if m.group(2) != "(" else ((), 0)
+        if m.group(2) == "(":          # tuple result: sum member types
+            for t in re.findall(r"(\w+\[[\d,]*\])", rest.split(")")[0]):
+                _, b = _shape_info(t)
+                out_b += b
+        op_m = re.search(r"\)\S*\s+([a-z][\w\-]*)\(", " " + rest) or \
+            re.search(r"\s([a-z][\w\-]*)\(", rest)
+        op = op_m.group(1) if op_m else ""
+        if op == "fusion":
+            mc = re.search(r"calls=%?([\w.\-]+)", line)
+            fl = comp_flops.get(mc.group(1), 0.0) if mc else 0.0
+        elif op == "dot":
+            fl = _dot_flops(line)
+        elif op == "convolution":
+            fl = _conv_flops(line)
+        elif op == "custom-call" and "tpu_custom_call" in line:
+            if "_mlp_grad_kernel" in line:
+                fl = None  # rows resolved below
+                rows_flops = _decoder_row_flops(fwd_only=False)
+            elif "_mlp_kernel" in line:
+                fl = None
+                rows_flops = _decoder_row_flops(fwd_only=True)
+            else:
+                continue
+            ops = re.findall(r"(\w+\[[\d,]*\])", rest)
+            rows = _shape_info(ops[1])[0][0] if len(ops) > 1 and \
+                _shape_info(ops[1])[0] else 0
+            fl = rows * rows_flops
+        else:
+            continue
+        in_b = sum(_shape_info(t)[1]
+                   for t in re.findall(r"(\w+\[[\d,]*\])",
+                                       rest.split("(", 1)[-1]))
+        costs[name] = (fl, out_b + in_b)
+    return costs
+
+
+def measured_hbm_gbps():
+    """Peak HBM bandwidth via a big streaming elementwise pass (read+write
+    2 x 256 MB, scalar output so the tunnel download stays out of the timed
+    region)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 64 * 1024 * 1024          # 256 MB f32
+    k_iter = 8
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return c * 1.0000001 + 1.0, None
+        c, _ = jax.lax.scan(body, x, None, length=k_iter)
+        return c[0]
+
+    x = jnp.ones((n,), jnp.float32)
+    float(run(x))
+    t0 = time.perf_counter()
+    float(run(x))
+    dt = time.perf_counter() - t0
+    return 2.0 * 4.0 * n * k_iter / dt / 1e9
+
+
 _REGIONS = (
     ("preprocess", "preprocess_frame"),      # unpack/pyramid/stencil/boxfilter
     ("gn_track", "gauss_newton"),            # the GN iteration loop
@@ -157,11 +337,15 @@ def classify(name: str, dedup: str, fusion_family: dict) -> str:
     return "elementwise"
 
 
-def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None):
+def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None,
+                costs: dict = None):
     """Sum LEAF device-event durations (us) by op family (and, when a
     region classifier is given, by pipeline region); containers
     (while/cond/jit/queue groupings) are skipped, so nothing double
-    counts."""
+    counts.  With ``costs`` (from :func:`build_fusion_costs`), also
+    accumulates execution-weighted program FLOPs and HBM bytes -- each
+    while-loop iteration is its own trace event, so loop trip counts are
+    measured, not guessed."""
     paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
     assert paths, f"no trace under {trace_dir}"
     with gzip.open(paths[-1], "rt") as f:
@@ -172,7 +356,11 @@ def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None):
                    and "TPU" in str(e.get("args", {}).get("name", ""))}
     by_family = defaultdict(float)
     by_region = defaultdict(float)
+    by_name = defaultdict(float)
+    n_exec = defaultdict(int)
     total = 0.0
+    flops = 0.0
+    hbm_bytes = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
@@ -184,12 +372,19 @@ def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None):
         dedup = e.get("args", {}).get("deduplicated_name", "")
         fam = classify(name, dedup, fusion_family)
         by_family[fam] += dur
+        by_name[dedup or name] += dur
+        n_exec[dedup or name] += 1
         total += dur
+        if costs is not None:
+            fl, b = costs.get(dedup or name, costs.get(name, (0.0, 0.0)))
+            flops += fl
+            hbm_bytes += b
         if region_of is not None:
             region = region_of.get(dedup or name,
                                    region_of.get(name, "other"))
             by_region[region] += dur
-    return dict(by_family), dict(by_region), total
+    return (dict(by_family), dict(by_region), total, flops, hbm_bytes,
+            dict(by_name), dict(n_exec))
 
 
 def measured_peak_tflops():
@@ -269,6 +464,9 @@ def main(argv=None):
     ap.add_argument("--trace-dir", default="/tmp/difusion_roofline_trace")
     ap.add_argument("--tiled", action="store_true",
                     help="profile with the block-tiled warp (warp_tiled=True)")
+    ap.add_argument("--detail", type=int, default=0,
+                    help="print the top-N instructions by device time with "
+                         "family/region/provenance (copy-budget attribution)")
     args = ap.parse_args(argv)
 
     import jax
@@ -302,9 +500,13 @@ def main(argv=None):
     n_frames = args.chunks * CHUNK
     frame_ms = 1e3 * (time.perf_counter() - t0) / n_frames
 
-    # fusion classifier from the compiled scan program
+    hbm_gbps = measured_hbm_gbps()
+    print(f"measured HBM stream bandwidth: {hbm_gbps:.0f} GB/s", flush=True)
+
+    # fusion classifier + per-instruction cost table from the compiled scan
     fusion_family = {}
     region_of = {}
+    costs = None
     try:
         from difusion_tpu import slam as slam_mod
         tr = system.tracker
@@ -317,7 +519,9 @@ def main(argv=None):
         hlo_text = lowered.compile().as_text()
         fusion_family = build_fusion_classifier(hlo_text)
         region_of = build_region_classifier(hlo_text)
-        print(f"classified {len(fusion_family)} fusions from HLO", flush=True)
+        costs = build_fusion_costs(hlo_text)
+        print(f"classified {len(fusion_family)} fusions, "
+              f"{len(costs)} cost entries from HLO", flush=True)
     except Exception as e:
         print(f"HLO classification unavailable: {e}", flush=True)
 
@@ -328,8 +532,28 @@ def main(argv=None):
             system.process_chunk(c, h, w)
         np.asarray(system.tracker.last_pose.t)
 
-    fam_us, region_us, total_us = parse_trace(args.trace_dir, fusion_family,
-                                              region_of)
+    (fam_us, region_us, total_us, flops, hbm_b, name_us,
+     n_exec) = parse_trace(args.trace_dir, fusion_family, region_of, costs)
+
+    if args.detail > 0:
+        # attribute the copy/elementwise budget to its concrete fusions
+        # (round-3 verdict item 4): top device-time instructions with
+        # family, region, execution count, and producing-op provenance
+        # (op_name metadata from the compiled HLO)
+        meta_of = {}
+        try:
+            for m in re.finditer(r"%([\w.\-]+) = [^\n]*?metadata=\{[^}]*?"
+                                 r"op_name=\"([^\"]*)\"", hlo_text):
+                meta_of[m.group(1)] = m.group(2)
+        except NameError:
+            pass
+        print(f"\ntop {args.detail} instructions by device time:")
+        for nm, us in sorted(name_us.items(), key=lambda kv: -kv[1])[:args.detail]:
+            fam = classify(nm, "", fusion_family)
+            reg = region_of.get(nm, "?")
+            op = meta_of.get(nm, "")[-110:]
+            print(f"  {us / 1e3 / n_frames:7.3f} ms/fr x{n_exec[nm] // max(args.chunks, 1):<4}"
+                  f" {fam:<11} {reg:<10} {nm[:40]:<40} {op}", flush=True)
     stage_ms = {k: round(v / 1e3 / n_frames, 3)
                 for k, v in sorted(fam_us.items(), key=lambda kv: -kv[1])}
     region_ms = {k: round(v / 1e3 / n_frames, 3)
@@ -342,7 +566,32 @@ def main(argv=None):
         "stage_ms": stage_ms,
         "region_ms": region_ms,
         "measured_peak_tflops": round(peak, 1),
+        "measured_hbm_gbps": round(hbm_gbps, 1),
         **dec_bench,
+    }
+    if flops > 0:
+        # whole-frame arithmetic accounting (round-3 verdict item 7):
+        # execution-weighted matmul/conv FLOPs and HBM traffic from the
+        # trace, so the GN while_loop's measured trip count is in the
+        # number.  overall_mfu is the compute-roofline position;
+        # hbm_roofline_frac is the memory-roofline position -- the SLAM
+        # frame is expected to sit near the MEMORY roofline (tiny MLP,
+        # gather/elementwise heavy), so overall_mfu is honest context for
+        # decoder_mfu, not a target.
+        gflops_frame = flops / n_frames / 1e9
+        mfu = (flops / (total_us * 1e-6)) / (peak * 1e12)
+        hbm_frac = (hbm_b / (total_us * 1e-6)) / (hbm_gbps * 1e9)
+        out["program_gflops_per_frame"] = round(gflops_frame, 3)
+        out["overall_mfu"] = round(mfu, 4)
+        out["hbm_gb_per_frame"] = round(hbm_b / n_frames / 1e9, 4)
+        out["hbm_roofline_frac"] = round(hbm_frac, 3)
+    out["measurement_meta"] = {
+        "chunks": args.chunks, "frames_per_chunk": CHUNK,
+        "warmup_passes": 1, "timed_passes": 1,
+        "peak_bench": "4096^3 bf16 matmul x32, scalar out",
+        "hbm_bench": "256MB f32 stream x8, scalar out",
+        "device": jax.devices()[0].device_kind,
+        "date": time.strftime("%Y-%m-%d"),
     }
     Path(args.out).write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
