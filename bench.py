@@ -176,11 +176,13 @@ def main(resident_only: bool = False):
     res_fps = measure_resident(system, bench_chunks, h, w, passes=4)
     resident = float(np.mean(res_fps))
 
-    # the speed opt-in's pure-compute rate, for the record (accuracy table
-    # in README/ACCURACY_r03.json: within the run-to-run sensitivity band
-    # of the defaults).  L0 stays stride 1 -- the bf16 block-tiled texture
-    # makes full-res L0 as cheap as strided (186 vs 185 fps measured), so
-    # the preset keeps the accuracy-critical level dense
+    # the speed opt-in's pure-compute rate, for the record.  Accuracy of
+    # THIS preset (ACCURACY_r04.json, measured as shipped): at-or-better
+    # than default on loop300 (0.0343/0.1347 vs 0.0364/0.1722), ~5-17%
+    # worse on drift (0.0139/0.0213 vs 0.0119/0.0209).  L0 stays stride 1
+    # -- the bf16 block-tiled texture makes full-res L0 as cheap as strided
+    # (186 vs 185 fps measured), so the preset keeps the accuracy-critical
+    # level dense
     speed_sys, speed_chunks, _, _ = build_system(
         n_chunks=3, tcfg_overrides=dict(rgb_stride=(1, 2, 2),
                                         sdf_compute_dtype="bfloat16"))

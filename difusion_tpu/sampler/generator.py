@@ -218,8 +218,12 @@ def run_generation(args, sampler_cfg: Optional[SamplerConfig] = None) -> int:
                              sampler_cfg, rng)
         logging.info("mesh %d (%s): %d LIFs (total %d)", idx,
                      provider.get_source(idx), n, len(source_list))
-
-    (output_path / "source.json").write_text(json.dumps(source_list, indent=2))
+        # flush the index after EVERY mesh: generation is hours-long on a
+        # slow host, and an interrupted run with a fresh source.json is a
+        # usable (smaller) dataset instead of a loss (the reference writes
+        # it once at the end, main_generator.py:204-205, and loses the run)
+        (output_path / "source.json").write_text(json.dumps(source_list,
+                                                            indent=2))
     return len(source_list)
 
 

@@ -97,9 +97,12 @@ def _map_cfg(encoder_count_th=600.0):
 
 
 def run_slam(data_dir: str, frames: int, variant: str, chunk: int = 12,
-             mesh: bool = True):
+             mesh: bool = True, hyper: str = HYPER, epoch: int = 300):
     """Full SLAM over an on-disk ICL-format sequence; returns a result dict
-    with ate_rmse, fps, and mesh error stats from one final full extract."""
+    with ate_rmse, fps, and mesh error stats from one final full extract.
+    ``hyper``/``epoch`` select the prior (default: the reference's shipped
+    checkpoint; pass a trainer save_dir's hyper.json for a self-trained
+    prior, BASELINE config 5 downstream evidence)."""
     from difusion_tpu.core.tracker import TrackerConfig
     from difusion_tpu.data.production import ICLNUIMSequence, mesh_error_stats
     from difusion_tpu.slam import SLAMSystem, load_prior
@@ -108,7 +111,7 @@ def run_slam(data_dir: str, frames: int, variant: str, chunk: int = 12,
                           first_tq=[0, 0, 0, 1, 0, 0, 0], load_gt=True)
     tcfg = TrackerConfig.from_args(_tracking_args(variant),
                                    point_budget=1 << 13)
-    dec, enc, spec = load_prior(HYPER, 300)
+    dec, enc, spec = load_prior(hyper, epoch)
     system = SLAMSystem(_map_cfg(), tcfg, dec, enc, spec, seq.calib,
                         integrate_interval=20, depth_cut=(0.5, 5.0),
                         meshing=mesh, meshing_interval=10 ** 9,
@@ -229,6 +232,13 @@ def main(argv=None):
                         help="ALSO run the long-horizon ScanNet-format row "
                              "with this many frames (hash map, incremental "
                              "meshing, chunked)")
+    parser.add_argument("--hyper", default=HYPER,
+                        help="prior checkpoint hyper.json (a trainer "
+                             "save_dir for a self-trained prior)")
+    parser.add_argument("--epoch", type=int, default=300)
+    parser.add_argument("--tag", default="",
+                        help="suffix appended to config labels in the rows "
+                             "(e.g. '+self-prior')")
     parser.add_argument("--only", default="",
                         help="substring filter on sequence names")
     parser.add_argument("--variants",
@@ -260,8 +270,9 @@ def main(argv=None):
         if not (d / "groundtruth.txt").exists():
             make_icl(str(d), **kw)
         for label in args.variants.split(","):
-            r = run_slam(str(d), n, label)
-            r.update(seq=name, config=label)
+            r = run_slam(str(d), n, label, hyper=args.hyper,
+                         epoch=args.epoch)
+            r.update(seq=name, config=label + args.tag)
             rows.append(r)
             print(f"[{name} / {label}] ate_rmse={r['ate_rmse']:.4f} m  "
                   f"mesh_err={r.get('mesh_err_mean', float('nan')):.4f} m  "
