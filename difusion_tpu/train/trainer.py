@@ -266,7 +266,18 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
         for t in hyper["train_set"]])
     logging.info("dataset: %d LIFs", len(dataset))
 
-    state = create_train_state(spec_d, spec_e, jax.random.key(0))
+    # epoch-level resume: `resume_epoch: E` reloads prior_E.npz +
+    # training_E.npz (optimizer state) and continues at epoch E+1 -- the
+    # capability the reference lacks (network_trainer.py:91 hardcodes
+    # start_epoch=1), wired through the CLI here
+    start_epoch = int(hyper.get("resume_epoch", 0))
+    save_dir_early = Path(hyper.get("save_dir",
+                                    f"./di-checkpoints/{hyper['run_name']}"))
+    if start_epoch > 0:
+        state = load_checkpoint(save_dir_early, start_epoch, spec_d, spec_e)
+        logging.info("resumed from epoch %d", start_epoch)
+    else:
+        state = create_train_state(spec_d, spec_e, jax.random.key(0))
     import math
     n_dev = math.gcd(int(hyper["batch_size"]), len(jax.devices()))
     mesh = make_mesh(n_dev)
@@ -296,10 +307,15 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
         except Exception:
             tb = None
 
-    rng = np.random.default_rng(0)
-    key = jax.random.key(1)
+    rng = np.random.default_rng(start_epoch)
+    key = jax.random.key(1 + start_epoch)
     it = 0
-    for epoch in range(1, hyper["num_epochs"] + 1):
+    # on resume, keep the LOGGED iteration axis global (metrics.jsonl/tb
+    # continue from the snapshot's optimizer step) while `it` itself stays
+    # per-invocation so max_steps keeps its "steps this run" meaning
+    it_base = int(np.asarray(jax.device_get(state.step)).reshape(-1)[0]) \
+        if start_epoch > 0 else 0
+    for epoch in range(start_epoch + 1, hyper["num_epochs"] + 1):
         lr_dec = schedules[0](epoch)
         lr_enc = schedules[1](epoch)
         meter = LossMeter()
@@ -324,14 +340,15 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
                 logging.info("epoch %d it %d: %s", epoch, it,
                              {k: round(v, 5) for k, v in vals.items()})
                 metrics_f.write(json.dumps(
-                    {"epoch": epoch, "it": it, "lr_dec": float(lr_dec),
+                    {"epoch": epoch, "it": it_base + it,
+                     "lr_dec": float(lr_dec),
                      "lr_enc": float(lr_enc), "t": time.time(), **vals}) + "\n")
                 metrics_f.flush()
                 if tb is not None:
                     for k, v in vals.items():
-                        tb.add_scalar(f"train/{k}", v, it)
-                    tb.add_scalar("lr/decoder", float(lr_dec), it)
-                    tb.add_scalar("lr/encoder", float(lr_enc), it)
+                        tb.add_scalar(f"train/{k}", v, it_base + it)
+                    tb.add_scalar("lr/decoder", float(lr_dec), it_base + it)
+                    tb.add_scalar("lr/encoder", float(lr_enc), it_base + it)
             if 0 < max_steps <= it:
                 break
         dt = time.perf_counter() - t_epoch

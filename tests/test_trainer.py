@@ -213,3 +213,19 @@ def test_train_driver_end_to_end(lif_dir, tmp_path):
     from difusion_tpu.slam import load_prior
     dec, enc, spec = load_prior(str(tmp_path / "ckpt" / "hyper.json"), 1)
     assert spec.latent_size == 29
+
+    # driver-level resume (`resume_epoch`): continues from the snapshot's
+    # optimizer step instead of restarting (the reference hardcodes
+    # start_epoch=1, network_trainer.py:91)
+    hyper2 = dict(hyper, resume_epoch=1, num_epochs=2)
+    (tmp_path / "hyper_resume.json").write_text(json.dumps(hyper2))
+    code2 = code.replace("max_steps=3", "max_steps=5")
+    proc2 = subprocess.run(
+        [_sys.executable, "-c", code2, str(tmp_path / "hyper_resume.json")],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    # resumed at optimizer step 3, then ran epoch 2's full 3 batches
+    # (12 LIFs / batch 4) before max_steps could bite
+    assert "FINAL_STEP 6" in proc2.stdout, proc2.stdout[-500:]
+    assert (tmp_path / "ckpt" / "prior_2.npz").exists()

@@ -137,32 +137,13 @@ def _shape_info(type_str):
     return shape, n * _DTYPE_BYTES.get(dt, 4)
 
 
-def _dot_flops(line: str) -> float:
-    """FLOPs of one HLO dot line: 2 * prod(result) * prod(contracted lhs
-    dims).  Operand types are printed inline in compiled HLO text."""
-    m = re.search(r"= (\w+\[[\d,]*\])\S* dot\((\w+\[[\d,]*\])", line)
-    if not m:
-        return 0.0
-    out_shape, _ = _shape_info(m.group(1))
-    lhs_shape, _ = _shape_info(m.group(2))
-    mc = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", line)
-    k = 1
-    for d in (mc.group(1).split(",") if mc and mc.group(1) else []):
-        k *= lhs_shape[int(d)] if int(d) < len(lhs_shape) else 1
-    out = 1
-    for d in out_shape:
-        out *= d
-    return 2.0 * out * k
-
-
-def _conv_flops(line: str) -> float:
-    """Approximate FLOPs of one HLO convolution line:
-    2 * prod(output) * prod(window) * input_features."""
-    m = re.search(r"= (\w+\[[\d,]*\])\S* convolution\((\w+\[[\d,]*\])", line)
-    if not m:
-        return 0.0
-    out_shape, _ = _shape_info(m.group(1))
-    lhs_shape, _ = _shape_info(m.group(2))
+def _conv_flops(line: str, out_shape, shape_of) -> float:
+    """FLOPs of one HLO convolution line (TPU lowers ALL dots to
+    convolutions -- plain matmuls carry ``dim_labels=bf_io->bf`` and no
+    window): 2 * prod(output) * lhs_feature_dim * prod(window sizes).
+    Operands are bare %names; ``shape_of`` resolves them."""
+    ops = _call_operands(line, "convolution")
+    lhs_shape = shape_of.get(ops[0], ((), 0))[0] if ops else ()
     win = 1
     mw = re.search(r"window=\{size=([\dx]+)", line)
     if mw:
@@ -177,6 +158,14 @@ def _conv_flops(line: str) -> float:
     for d in out_shape:
         out *= d
     return 2.0 * out * win * feat
+
+
+def _call_operands(line: str, op: str):
+    """%operand names inside ``op(...)`` on this line."""
+    m = re.search(re.escape(op) + r"\(([^)]*)\)", line)
+    if not m:
+        return []
+    return re.findall(r"%([\w.\-]+)", m.group(1))
 
 
 def _decoder_row_flops(fwd_only: bool) -> float:
@@ -195,19 +184,32 @@ def _decoder_row_flops(fwd_only: bool) -> float:
 def build_fusion_costs(hlo_text: str):
     """instruction/fusion name -> (flops, hbm_bytes) per execution.
 
-    * fusion: dot/conv FLOPs summed over its called computation; bytes =
-      inline operand types + result type (fusions stream operands from HBM
-      and write the result back -- VMEM reuse of a shared operand makes
-      this a slight over-count, acceptable for a roofline).
-    * pallas custom-call (the fused decoder): analytic FLOPs per row
-      (weights are VMEM-resident; HBM bytes = inputs + outputs).
-    * top-level dot/convolution instructions count directly.
+    Compiled TPU HLO prints operands as bare ``%names`` (no inline types)
+    and lowers every dot to a ``convolution`` (matmuls carry
+    ``dim_labels=bf_io->bf`` and no window), so this runs in two passes:
+
+    1. map every instruction name to its RESULT shape/bytes;
+    2. walk computations summing convolution FLOPs (operand shapes via the
+       map), then price each top-level instruction: fusion = its called
+       computation's FLOPs; convolution = its own; pallas custom-call (the
+       fused decoder) = analytic FLOPs per input row (weights stay in
+       VMEM).  Bytes = operands' result bytes + own result bytes -- what
+       the thunk streams from/to HBM (a slight over-count where an operand
+       stays cache-resident, acceptable for a roofline).
     """
+    lines = hlo_text.splitlines()
+    shape_of = {}
+    for line in lines:
+        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)", line)
+        if m:
+            shape_of[m.group(1)] = _shape_info(m.group(2))
+
+    # computation -> conv flops (computation headers end with "{")
     comp_flops = {}
     cur = None
-    for line in hlo_text.splitlines():
-        m = re.match(r"\s*%?([\w.\-]+)\s+\([^)]*\)\s*->", line)
-        if m and line.rstrip().endswith("{"):
+    for line in lines:
+        m = re.match(r"\s*%?([\w.\-]+)\s+\(", line)
+        if m and line.rstrip().endswith("{") and "->" in line:
             cur = m.group(1)
             comp_flops[cur] = 0.0
             continue
@@ -215,64 +217,52 @@ def build_fusion_costs(hlo_text: str):
             if line.strip().startswith("}"):
                 cur = None
                 continue
-            if " dot(" in line:
-                comp_flops[cur] += _dot_flops(line)
-            elif " convolution(" in line:
-                comp_flops[cur] += _conv_flops(line)
+            mi = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)", line)
+            if mi and " convolution(" in line:
+                comp_flops[cur] += _conv_flops(line, shape_of[mi.group(1)][0],
+                                               shape_of)
 
     costs = {}
-    for line in hlo_text.splitlines():
-        m = re.match(r"\s*%?([\w.\-]+) = (\w+\[[\d,]*\]|\()(.*)", line)
+    for line in lines:
+        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)\s+([a-z][\w\-]*)\(",
+                     line)
         if not m:
             continue
-        name, rest = m.group(1), m.group(2) + m.group(3)
-        # bytes: result type(s) + inline operand types
-        _, out_b = _shape_info(m.group(2)) if m.group(2) != "(" else ((), 0)
-        if m.group(2) == "(":          # tuple result: sum member types
-            for t in re.findall(r"(\w+\[[\d,]*\])", rest.split(")")[0]):
-                _, b = _shape_info(t)
-                out_b += b
-        op_m = re.search(r"\)\S*\s+([a-z][\w\-]*)\(", " " + rest) or \
-            re.search(r"\s([a-z][\w\-]*)\(", rest)
-        op = op_m.group(1) if op_m else ""
+        name, op = m.group(1), m.group(3)
+        out_shape, out_b = shape_of.get(name, ((), 0))
         if op == "fusion":
             mc = re.search(r"calls=%?([\w.\-]+)", line)
             fl = comp_flops.get(mc.group(1), 0.0) if mc else 0.0
-        elif op == "dot":
-            fl = _dot_flops(line)
         elif op == "convolution":
-            fl = _conv_flops(line)
+            fl = _conv_flops(line, out_shape, shape_of)
         elif op == "custom-call" and "tpu_custom_call" in line:
-            if "_mlp_grad_kernel" in line:
-                fl = None  # rows resolved below
-                rows_flops = _decoder_row_flops(fwd_only=False)
-            elif "_mlp_kernel" in line:
-                fl = None
-                rows_flops = _decoder_row_flops(fwd_only=True)
-            else:
-                continue
-            ops = re.findall(r"(\w+\[[\d,]*\])", rest)
-            rows = _shape_info(ops[1])[0][0] if len(ops) > 1 and \
-                _shape_info(ops[1])[0] else 0
-            fl = rows * rows_flops
+            # fused decoder kernels: first operand is the (N, din) input.
+            # The lowered line carries no kernel name, only the pallas_call
+            # site's source_file -- the grad kernel's only call site is the
+            # tracker, the forward kernel's the mesher/decode paths
+            ops = _call_operands(line, "custom-call")
+            rows = shape_of.get(ops[0], ((0,), 0))[0][0] if ops else 0
+            fl = rows * _decoder_row_flops(
+                fwd_only="tracker.py" not in line)
         else:
             continue
-        in_b = sum(_shape_info(t)[1]
-                   for t in re.findall(r"(\w+\[[\d,]*\])",
-                                       rest.split("(", 1)[-1]))
+        in_b = sum(shape_of.get(o, ((), 0))[1]
+                   for o in _call_operands(line, op))
         costs[name] = (fl, out_b + in_b)
     return costs
 
 
 def measured_hbm_gbps():
     """Peak HBM bandwidth via a big streaming elementwise pass (read+write
-    2 x 256 MB, scalar output so the tunnel download stays out of the timed
-    region)."""
+    2 x 1 GB per iteration, 24 iterations, scalar output).  Sized so ~48 GB
+    of traffic dwarfs the tunnel's per-thunk dispatch overhead -- a 256 MB
+    x8 version measured 122 GB/s (overhead-dominated); this one measures
+    the stable streaming rate."""
     import jax
     import jax.numpy as jnp
 
-    n = 64 * 1024 * 1024          # 256 MB f32
-    k_iter = 8
+    n = 256 * 1024 * 1024         # 1 GB f32
+    k_iter = 24
 
     @jax.jit
     def run(x):
@@ -357,6 +347,7 @@ def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None,
     by_family = defaultdict(float)
     by_region = defaultdict(float)
     by_name = defaultdict(float)
+    bytes_by_family = defaultdict(float)
     n_exec = defaultdict(int)
     total = 0.0
     flops = 0.0
@@ -379,12 +370,13 @@ def parse_trace(trace_dir: str, fusion_family: dict, region_of: dict = None,
             fl, b = costs.get(dedup or name, costs.get(name, (0.0, 0.0)))
             flops += fl
             hbm_bytes += b
+            bytes_by_family[fam] += b
         if region_of is not None:
             region = region_of.get(dedup or name,
                                    region_of.get(name, "other"))
             by_region[region] += dur
     return (dict(by_family), dict(by_region), total, flops, hbm_bytes,
-            dict(by_name), dict(n_exec))
+            dict(by_name), dict(n_exec), dict(bytes_by_family))
 
 
 def measured_peak_tflops():
@@ -533,7 +525,8 @@ def main(argv=None):
         np.asarray(system.tracker.last_pose.t)
 
     (fam_us, region_us, total_us, flops, hbm_b, name_us,
-     n_exec) = parse_trace(args.trace_dir, fusion_family, region_of, costs)
+     n_exec, fam_bytes) = parse_trace(args.trace_dir, fusion_family,
+                                      region_of, costs)
 
     if args.detail > 0:
         # attribute the copy/elementwise budget to its concrete fusions
@@ -585,11 +578,26 @@ def main(argv=None):
         out["overall_mfu"] = round(mfu, 4)
         out["hbm_gb_per_frame"] = round(hbm_b / n_frames / 1e9, 4)
         out["hbm_roofline_frac"] = round(hbm_frac, 3)
+        out["hbm_mb_per_frame_by_family"] = {
+            k: round(v / n_frames / 1e6, 1)
+            for k, v in sorted(fam_bytes.items(), key=lambda kv: -kv[1])}
+        out["bytes_accounting"] = (
+            "streamed-operand UPPER BOUND: every fusion is priced as "
+            "(operands + result) bytes, so an operand two fusions share "
+            "is counted twice; where a family's implied bandwidth "
+            "(mb_per_frame/stage_ms) exceeds measured_hbm_gbps the "
+            "over-count is visible.  hbm_roofline_frac is therefore an "
+            "upper bound on the memory-roofline position; the robust "
+            "conclusion is the arithmetic intensity "
+            "(program_gflops_per_frame/hbm_gb_per_frame ~ 3 flop/byte "
+            "vs the ~167 flop/byte ridge): the frame is traffic-shaped, "
+            "so further perf comes from moving fewer bytes, not fewer "
+            "flops.")
     out["measurement_meta"] = {
         "chunks": args.chunks, "frames_per_chunk": CHUNK,
         "warmup_passes": 1, "timed_passes": 1,
         "peak_bench": "4096^3 bf16 matmul x32, scalar out",
-        "hbm_bench": "256MB f32 stream x8, scalar out",
+        "hbm_bench": "1GB f32 stream x24, scalar out",
         "device": jax.devices()[0].device_kind,
         "date": time.strftime("%Y-%m-%d"),
     }

@@ -20,9 +20,13 @@ def summarize(save_dir: str) -> dict:
     ts = np.array([r["t"] for r in rows])
     loss_keys = [k for k in rows[0]
                  if k not in ("epoch", "it", "lr_dec", "lr_enc", "t")]
-    # wall-rate over the logged span (log rows are every `log_every` its)
-    span_its = float(its[-1] - its[0])
-    span_s = float(ts[-1] - ts[0])
+    # wall-rate from per-row deltas (robust to resume gaps in `t` --
+    # metrics.jsonl is append-mode across invocations)
+    d_it = np.diff(its).astype(float)
+    d_t = np.diff(ts)
+    ok = (d_it > 0) & (d_t > 0)
+    rate = (float(np.median(d_it[ok] / d_t[ok]))
+            if ok.any() else None)
     total = {k: np.array([r[k] for r in rows]) for k in loss_keys}
     # downsampled curve: ~40 evenly spaced points per loss
     sel = np.unique(np.linspace(0, len(rows) - 1, 40).astype(int))
@@ -41,7 +45,7 @@ def summarize(save_dir: str) -> dict:
         "save_dir": str(save_dir),
         "epochs": int(rows[-1]["epoch"]),
         "total_its": int(its[-1]),
-        "it_per_s": round(span_its / span_s, 2) if span_s > 0 else None,
+        "it_per_s": round(rate, 2) if rate else None,
         "final": {k: round(float(total[k][-1]), 5) for k in loss_keys},
         "plateau_rel_change_last20pct": round(float(rel_change), 4),
         "plateaued": bool(abs(rel_change) < 0.05),
