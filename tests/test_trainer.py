@@ -229,3 +229,33 @@ def test_train_driver_end_to_end(lif_dir, tmp_path):
     # (12 LIFs / batch 4) before max_steps could bite
     assert "FINAL_STEP 6" in proc2.stdout, proc2.stdout[-500:]
     assert (tmp_path / "ckpt" / "prior_2.npz").exists()
+
+def test_training_report_resume_dedup(tmp_path):
+    """summarize() applies latest-write-wins on the global `it` axis: an
+    interrupted invocation's tail rows (past the snapshot a resume restarted
+    from) are superseded by the resumed run's re-coverage."""
+    import os as _os
+    import sys as _sys2
+    _sys2.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"))
+    from training_report import summarize
+    rows = (
+        # first invocation: it 10..50, dies after it 50
+        [{"epoch": e, "it": it, "lr_dec": 1e-3, "lr_enc": 1e-3,
+          "t": 100.0 + it, "total": 1.0 / it} for e, it in
+         [(1, 10), (1, 20), (2, 30), (2, 40), (3, 50)]] +
+        # resume from the epoch-2 snapshot (it 40): re-covers 50, then on
+        [{"epoch": e, "it": it, "lr_dec": 1e-3, "lr_enc": 1e-3,
+          "t": 500.0 + it, "total": 0.5 / it} for e, it in
+         [(3, 50), (3, 60), (4, 70)]])
+    (tmp_path / "metrics.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+    s = summarize(str(tmp_path))
+    its = [c["it"] for c in s["curve"]]
+    assert its == sorted(set(its))            # strictly increasing
+    assert s["total_its"] == 70 and s["epochs"] == 4
+    # the surviving it=50 row is the RESUMED one (loss 0.5/50, not 1.0/50)
+    it50 = [c for c in s["curve"] if c["it"] == 50]
+    assert it50 and abs(it50[0]["total"] - 0.5 / 50) < 1e-9
+    # rate from per-row deltas ignores the cross-invocation wall gap
+    assert s["it_per_s"] == 1.0

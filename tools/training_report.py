@@ -13,9 +13,17 @@ import numpy as np
 
 
 def summarize(save_dir: str) -> dict:
-    rows = [json.loads(ln) for ln in
-            (Path(save_dir) / "metrics.jsonl").read_text().splitlines() if ln]
-    assert rows, f"no metrics rows in {save_dir}"
+    raw = [json.loads(ln) for ln in
+           (Path(save_dir) / "metrics.jsonl").read_text().splitlines() if ln]
+    assert raw, f"no metrics rows in {save_dir}"
+    # latest-write-wins on the global iteration axis: an interrupted run's
+    # tail (iterations past the snapshot a later invocation resumed from)
+    # is superseded by the resumed run's re-coverage of the same span
+    rows = []
+    for r in raw:
+        while rows and rows[-1]["it"] >= r["it"]:
+            rows.pop()
+        rows.append(r)
     its = np.array([r["it"] for r in rows])
     ts = np.array([r["t"] for r in rows])
     loss_keys = [k for k in rows[0]
