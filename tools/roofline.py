@@ -125,7 +125,22 @@ _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
 def _shape_info(type_str):
-    """'f32[8192,128]{...}' -> (dims tuple, bytes)."""
+    """'f32[8192,128]{...}' -> (dims tuple, bytes).  Tuple types
+    '(f32[..]{..}, u8[..]{..})' (multi-output fusions, while carries) sum
+    member bytes; the reported dims are the first member's."""
+    if type_str.startswith("("):
+        members = _SHAPE_RE.findall(type_str)
+        if not members:
+            return (), 0
+        shape = tuple(int(d) for d in members[0][1].split(",") if d)
+        b = 0
+        for dt, dims in members:
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            b += n * _DTYPE_BYTES.get(dt, 4)
+        return shape, b
     m = _SHAPE_RE.match(type_str)
     if not m:
         return (), 0
@@ -199,8 +214,12 @@ def build_fusion_costs(hlo_text: str):
     """
     lines = hlo_text.splitlines()
     shape_of = {}
+    # tuple result types contain nested parens (layout tiles like T(8,128)),
+    # so the tuple alternative must balance one nesting level
+    _TUPLE = r"\((?:[^()]|\([^()]*\))*\)"
     for line in lines:
-        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)", line)
+        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (" + _TUPLE + r"|\S+)",
+                     line)
         if m:
             shape_of[m.group(1)] = _shape_info(m.group(2))
 
@@ -224,11 +243,14 @@ def build_fusion_costs(hlo_text: str):
 
     costs = {}
     for line in lines:
-        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)\s+([a-z][\w\-]*)\(",
-                     line)
+        # result type may be a tuple (multi-output fusion) -- a plain \S+
+        # cannot span its internal spaces and would skip the instruction
+        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = "
+                     r"(?:\((?:[^()]|\([^()]*\))*\)|\S+)"
+                     r"\s+([a-z][\w\-]*)\(", line)
         if not m:
             continue
-        name, op = m.group(1), m.group(3)
+        name, op = m.group(1), m.group(2)
         out_shape, out_b = shape_of.get(name, ((), 0))
         if op == "fusion":
             mc = re.search(r"calls=%?([\w.\-]+)", line)
