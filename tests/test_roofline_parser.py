@@ -50,14 +50,27 @@ ENTRY %main (p0: f32[64,32], p1: f32[32,128], img: bf16[1,10,10,3], filt: bf16[3
 
 
 def test_shape_info_scalar_array_tuple():
-    assert _shape_info("f32[8192,128]{1,0:T(8,128)}") == ((8192, 128),
-                                                          8192 * 128 * 4)
-    assert _shape_info("bf16[16]{0}") == ((16,), 32)
-    assert _shape_info("f32[]") == ((), 4)
-    shape, b = _shape_info("(f32[16,8]{1,0}, pred[16]{0}, bf16[4,4]{1,0})")
+    assert _shape_info("f32[8192,128]{1,0:T(8,128)}") == (
+        (8192, 128), 8192 * 128 * 4, 8192 * 128 * 4)
+    assert _shape_info("bf16[16]{0}") == ((16,), 32, 32)
+    assert _shape_info("f32[]") == ((), 4, 4)
+    shape, b, raw = _shape_info("(f32[16,8]{1,0}, pred[16]{0}, bf16[4,4]{1,0})")
     assert shape == (16, 8)
-    assert b == 16 * 8 * 4 + 16 * 1 + 4 * 4 * 2
-    assert _shape_info("opaque") == ((), 0)
+    assert b == raw == 16 * 8 * 4 + 16 * 1 + 4 * 4 * 2
+    assert _shape_info("opaque") == ((), 0, 0)
+
+
+def test_shape_info_memory_space_aware():
+    """Buffers parked off HBM (S(1) = VMEM, S(2) = SMEM) count zero HBM
+    bytes but keep their raw size (touched-region pricing needs it)."""
+    shape, b, raw = _shape_info("f32[240,320]{0,1:T(8,128)S(1)}")
+    assert shape == (240, 320)
+    assert b == 0 and raw == 240 * 320 * 4
+    # copy-start convention: (dest, src, ctx) -- HBM side counted once
+    _, b, raw = _shape_info(
+        "(s32[196000]{0:T(1024)S(1)}, s32[196000]{0:T(1024)}, u32[]{:S(2)})")
+    assert b == 196000 * 4
+    assert raw == 2 * 196000 * 4 + 4
 
 
 def test_costs_plain_matmul_fusion():
@@ -96,7 +109,69 @@ def test_costs_pallas_custom_call_rows():
     assert b == 512 * 32 * 4 + 512 * 9 * 4
 
 
-def test_copy_not_priced():
-    # non-compute ops stay out of the costs map (their time still lands in
-    # the stage budget via the trace; flops/bytes would be spurious)
-    assert "copy.1" not in build_fusion_costs(HLO)
+def test_sync_copy_priced_as_read_plus_write():
+    # a sync HBM->HBM relayout copy streams its buffer twice
+    fl, b = build_fusion_costs(HLO)["copy.1"]
+    assert fl == 0
+    assert b == 2 * 64 * 128 * 4
+
+
+ASYNC_HLO = """\
+HloModule jit_async, entry_computation_layout={...}
+
+%async_computation.16 (param_0: f32[65536,29]) -> f32[16384,29] {
+  %param_0 = f32[65536,29]{1,0:T(8,128)} parameter(0)
+  ROOT %slice.9 = f32[16384,29]{1,0:T(8,128)S(1)} slice(%param_0), slice={[0:16384], [0:29]}
+}
+
+ENTRY %main (p0: s32[196000], p1: f32[65536,29]) -> f32[16384,29] {
+  %p0 = s32[196000]{0:T(1024)} parameter(0)
+  %p1 = f32[65536,29]{1,0:T(8,128)} parameter(1)
+  %copy-start.2 = (s32[196000]{0:T(1024)S(1)}, s32[196000]{0:T(1024)}, u32[]{:S(2)}) copy-start(%p0)
+  %copy-done.2 = s32[196000]{0:T(1024)S(1)} copy-done(%copy-start.2)
+  %vm = f32[128,29]{1,0:T(8,128)S(1)} parameter(2)
+  %copy-start.3 = (f32[128,29]{1,0:T(8,128)}, f32[128,29]{1,0:T(8,128)S(1)}, u32[]{:S(2)}) copy-start(%vm)
+  %copy-done.3 = f32[128,29]{1,0:T(8,128)} copy-done(%copy-start.3)
+  %slice-start.16 = ((f32[65536,29]{1,0:T(8,128)}), f32[16384,29]{1,0:T(8,128)S(1)}, s32[]{:S(2)}) async-start(%p1), calls=%async_computation.16
+  ROOT %slice-done.16 = f32[16384,29]{1,0:T(8,128)S(1)} async-done(%slice-start.16)
+}
+"""
+
+
+def test_async_transfers_priced_on_done_hbm_side_only():
+    """Memory-space-assignment staging: HBM->VMEM prefetch reads the HBM
+    source once; VMEM->HBM writeback writes the HBM dest once; the async
+    slice prefetch reads only the touched (result-sized) region of its HBM
+    source.  -start halves price nothing (no double count)."""
+    costs = build_fusion_costs(ASYNC_HLO)
+    assert "copy-start.2" not in costs
+    assert "slice-start.16" not in costs
+    assert costs["copy-done.2"] == (0.0, 196000 * 4)        # HBM read
+    assert costs["copy-done.3"] == (0.0, 128 * 29 * 4)      # HBM write
+    assert costs["slice-done.16"] == (0.0, 16384 * 29 * 4)  # touched read
+
+
+VMEM_FUSION_HLO = """\
+HloModule jit_vmem, entry_computation_layout={...}
+
+%fused_mul (param_0.1: f32[240,320], param_1.1: f32[240,320]) -> f32[240,320] {
+  %param_0.1 = f32[240,320]{1,0:T(8,128)} parameter(0)
+  %param_1.1 = f32[240,320]{1,0:T(8,128)} parameter(1)
+  ROOT %mul.1 = f32[240,320]{1,0:T(8,128)} multiply(%param_0.1, %param_1.1)
+}
+
+ENTRY %main (a: f32[240,320], b: f32[240,320]) -> f32[240,320] {
+  %a = f32[240,320]{1,0:T(8,128)S(1)} parameter(0)
+  %b = f32[240,320]{1,0:T(8,128)} parameter(1)
+  ROOT %fusion.5 = f32[240,320]{1,0:T(8,128)S(1)} fusion(%a, %b), kind=kLoop, calls=%fused_mul
+}
+"""
+
+
+def test_fusion_spaces_read_from_call_site():
+    """The fusion's result type and its operands' own types carry the
+    buffer-assignment S(1) annotations; body intermediates are unannotated
+    and must not be trusted.  Here: VMEM output (write=0), one VMEM operand
+    (read=0), one HBM operand (read=full)."""
+    fl, b = build_fusion_costs(VMEM_FUSION_HLO)["fusion.5"]
+    assert b == 240 * 320 * 4

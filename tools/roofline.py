@@ -121,35 +121,53 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s64": 8,
                 "u64": 8, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
                 "f64": 8, "c64": 8}
 
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{([^{}]*)\})?")
+
+
+def _member_info(dt, dims, layout):
+    """(hbm_bytes, raw_bytes) of one 'dtype[dims]{layout}' member.
+    hbm_bytes is 0 when the layout's memory-space annotation places the
+    buffer OFF HBM -- compiled TPU HLO marks VMEM-resident buffers `S(1)`
+    (alternate memory space; the memory-space-assignment pass parks hot
+    working sets there) and SMEM-resident scalars `S(2)`.  Unannotated =
+    default space = HBM.  raw_bytes is the space-blind size (the touched
+    region of a windowed read is raw-sized regardless of where the window
+    lands)."""
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    raw = n * _DTYPE_BYTES.get(dt, 4)
+    sp = re.search(r"S\((\d+)\)", layout or "")
+    if sp and sp.group(1) != "0":
+        return 0, raw
+    return raw, raw
 
 
 def _shape_info(type_str):
-    """'f32[8192,128]{...}' -> (dims tuple, bytes).  Tuple types
-    '(f32[..]{..}, u8[..]{..})' (multi-output fusions, while carries) sum
-    member bytes; the reported dims are the first member's."""
+    """'f32[8192,128]{...}' -> (dims tuple, HBM bytes, raw bytes).  Tuple
+    types '(f32[..]{..}, u8[..]{..})' (multi-output fusions, while carries,
+    async-start wrappers) sum member bytes; the reported dims are the first
+    member's.  HBM bytes exclude non-HBM-space members (see
+    :func:`_member_info`); raw bytes count every member."""
+    members = _SHAPE_RE.findall(type_str)
+    if not members:
+        return (), 0, 0
     if type_str.startswith("("):
-        members = _SHAPE_RE.findall(type_str)
-        if not members:
-            return (), 0
         shape = tuple(int(d) for d in members[0][1].split(",") if d)
-        b = 0
-        for dt, dims in members:
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            b += n * _DTYPE_BYTES.get(dt, 4)
-        return shape, b
+        hb = rb = 0
+        for mm in members:
+            h, r = _member_info(*mm)
+            hb += h
+            rb += r
+        return shape, hb, rb
     m = _SHAPE_RE.match(type_str)
     if not m:
-        return (), 0
-    dt, dims = m.group(1), m.group(2)
+        return (), 0, 0
+    dt, dims, layout = m.group(1), m.group(2), m.group(3)
     shape = tuple(int(d) for d in dims.split(",") if d) if dims else ()
-    n = 1
-    for d in shape:
-        n *= d
-    return shape, n * _DTYPE_BYTES.get(dt, 4)
+    h, r = _member_info(dt, dims, layout)
+    return shape, h, r
 
 
 def _conv_flops(line: str, out_shape, shape_of) -> float:
@@ -158,7 +176,7 @@ def _conv_flops(line: str, out_shape, shape_of) -> float:
     window): 2 * prod(output) * lhs_feature_dim * prod(window sizes).
     Operands are bare %names; ``shape_of`` resolves them."""
     ops = _call_operands(line, "convolution")
-    lhs_shape = shape_of.get(ops[0], ((), 0))[0] if ops else ()
+    lhs_shape = shape_of.get(ops[0], ((), 0, 0))[0] if ops else ()
     win = 1
     mw = re.search(r"window=\{size=([\dx]+)", line)
     if mw:
@@ -208,9 +226,20 @@ def build_fusion_costs(hlo_text: str):
        map), then price each top-level instruction: fusion = its called
        computation's FLOPs; convolution = its own; pallas custom-call (the
        fused decoder) = analytic FLOPs per input row (weights stay in
-       VMEM).  Bytes = operands' result bytes + own result bytes -- what
-       the thunk streams from/to HBM (a slight over-count where an operand
-       stays cache-resident, acceptable for a roofline).
+       VMEM).
+
+    Bytes are MEMORY-SPACE AWARE: on compiled TPU HLO the memory-space-
+    assignment pass parks most hot buffers in VMEM (``S(1)`` layout
+    annotations) and stages them with async ``copy-start/-done`` /
+    ``slice-start/-done`` pairs, so the real HBM traffic splits between
+    (a) fusions whose params/outputs stayed HBM-resident -- priced by
+    :func:`_fusion_bytes` (body dataflow: in-place DUS carries and
+    windowed dynamic-slice/gather reads count only touched bytes) -- and
+    (b) the staging transfers themselves -- priced by
+    :func:`_generic_bytes` on the ``*-done`` instruction (where the
+    profiler charges the time), reads/writes counted only on the HBM side
+    of the move.  Bare convolutions/custom-calls stream full HBM-resident
+    operands + result.
     """
     lines = hlo_text.splitlines()
     shape_of = {}
@@ -223,22 +252,43 @@ def build_fusion_costs(hlo_text: str):
         if m:
             shape_of[m.group(1)] = _shape_info(m.group(2))
 
-    # computation -> conv flops (computation headers end with "{")
+    # computation bodies: conv flops + instruction graph (op, operands) for
+    # the dataflow byte pricing below (headers end with "{")
     comp_flops = {}
+    comp_insts = {}      # comp -> {inst name: (op, [operand names])}
+    comp_params = {}     # comp -> [param names in index order]
+    comp_root = {}       # comp -> root inst name
     cur = None
     for line in lines:
         m = re.match(r"\s*%?([\w.\-]+)\s+\(", line)
         if m and line.rstrip().endswith("{") and "->" in line:
             cur = m.group(1)
             comp_flops[cur] = 0.0
+            comp_insts[cur] = {}
+            comp_params[cur] = []
             continue
         if cur is not None:
             if line.strip().startswith("}"):
                 cur = None
                 continue
-            mi = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)", line)
-            if mi and " convolution(" in line:
-                comp_flops[cur] += _conv_flops(line, shape_of[mi.group(1)][0],
+            mi = re.match(r"\s*(ROOT )?%([\w.\-]+) = "
+                          r"(?:\((?:[^()]|\([^()]*\))*\)|\S+)"
+                          r"\s+([a-z][\w\-]*)\(", line)
+            if not mi:
+                continue
+            name, op = mi.group(2), mi.group(3)
+            comp_insts[cur][name] = (op, _call_operands(line, op))
+            if mi.group(1):
+                comp_root[cur] = name
+            if op == "parameter":
+                mp = re.search(r"parameter\((\d+)\)", line)
+                if mp:
+                    idx = int(mp.group(1))
+                    ps = comp_params[cur]
+                    ps.extend([None] * (idx + 1 - len(ps)))
+                    ps[idx] = name
+            elif op == "convolution":
+                comp_flops[cur] += _conv_flops(line, shape_of[name][0],
                                                shape_of)
 
     costs = {}
@@ -246,32 +296,177 @@ def build_fusion_costs(hlo_text: str):
         # result type may be a tuple (multi-output fusion) -- a plain \S+
         # cannot span its internal spaces and would skip the instruction
         m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = "
-                     r"(?:\((?:[^()]|\([^()]*\))*\)|\S+)"
+                     r"(\((?:[^()]|\([^()]*\))*\)|\S+)"
                      r"\s+([a-z][\w\-]*)\(", line)
         if not m:
             continue
-        name, op = m.group(1), m.group(2)
-        out_shape, out_b = shape_of.get(name, ((), 0))
+        name, res_type, op = m.group(1), m.group(2), m.group(3)
+        out_shape, out_b, out_raw = shape_of.get(name, ((), 0, 0))
+        fl = 0.0
         if op == "fusion":
             mc = re.search(r"calls=%?([\w.\-]+)", line)
-            fl = comp_flops.get(mc.group(1), 0.0) if mc else 0.0
+            if not mc:
+                continue
+            fl = comp_flops.get(mc.group(1), 0.0)
+            b = _fusion_bytes(mc.group(1), _call_operands(line, op),
+                              res_type, comp_insts, comp_params,
+                              comp_root, shape_of)
         elif op == "convolution":
             fl = _conv_flops(line, out_shape, shape_of)
+            b = out_b + sum(_bytes_of(o, shape_of)
+                            for o in _call_operands(line, op))
         elif op == "custom-call" and "tpu_custom_call" in line:
             # fused decoder kernels: first operand is the (N, din) input.
             # The lowered line carries no kernel name, only the pallas_call
             # site's source_file -- the grad kernel's only call site is the
             # tracker, the forward kernel's the mesher/decode paths
             ops = _call_operands(line, "custom-call")
-            rows = shape_of.get(ops[0], ((0,), 0))[0][0] if ops else 0
+            rows = shape_of.get(ops[0], ((0,), 0, 0))[0][0] if ops else 0
             fl = rows * _decoder_row_flops(
                 fwd_only="tracker.py" not in line)
+            b = out_b + sum(_bytes_of(o, shape_of) for o in ops)
         else:
-            continue
-        in_b = sum(shape_of.get(o, ((), 0))[1]
-                   for o in _call_operands(line, op))
-        costs[name] = (fl, out_b + in_b)
+            b = _generic_bytes(op, _call_operands(line, op), shape_of,
+                               out_b, out_raw)
+            if b is None:
+                continue
+        costs[name] = (fl, b)
     return costs
+
+
+_SKIP_OPS = frozenset((
+    "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+    "after-all", "iota", "partition-id", "replica-id", "custom-call",
+    "while", "conditional", "call", "fusion", "convolution",
+    "rng-bit-generator", "infeed", "outfeed"))
+
+
+def _generic_bytes(op, ops, shape_of, out_b, out_raw):
+    """HBM bytes of one top-level NON-fusion instruction execution, or
+    ``None`` for ops that move no data themselves (metadata ops; ``*-start``
+    halves of async pairs, whose traffic is charged on the ``*-done`` the
+    profiler reports the time on).
+
+    ``*-done`` (async copy/slice prefetches inserted by memory-space
+    assignment): the moved region is the done-result's raw size; it is an
+    HBM READ iff the start tuple holds HBM bytes beyond the destination
+    member (i.e. the source side lives in HBM) and an HBM WRITE iff the
+    destination itself does.  This one rule prices all four space
+    combinations of both tuple conventions -- ``copy-start`` = ``(dest,
+    src, ctx)``, generic ``async-start`` = ``((operands), dest, ctx)`` --
+    without knowing which member is which.
+
+    ``slice``/``dynamic-slice`` read only the touched (result-raw-sized)
+    region of an HBM source; ``dynamic-update-slice`` reads its update and
+    rewrites only the update region of an HBM destination (XLA aliases the
+    rest in place).  Everything else (sync copy relayouts, sort, reduce,
+    reduce-window, concatenate, ...) streams HBM-resident operands +
+    result."""
+    if op in _SKIP_OPS or op.endswith("-start"):
+        return None
+    if op.endswith("-done"):
+        start_hbm = _bytes_of(ops[0], shape_of) if ops else 0
+        read = out_raw if start_hbm - out_b > 0 else 0
+        return read + out_b
+    if op in ("slice", "dynamic-slice"):
+        read = out_raw if (ops and _bytes_of(ops[0], shape_of) > 0) else 0
+        return out_b + read
+    if op == "dynamic-update-slice":
+        if len(ops) < 2:
+            return out_b
+        upd_raw = _raw_of(ops[1], shape_of)
+        w = upd_raw if out_b > 0 else 0
+        r = upd_raw if _bytes_of(ops[1], shape_of) > 0 else 0
+        return w + r
+    return out_b + sum(_bytes_of(o, shape_of) for o in ops)
+
+
+def _bytes_of(name, shape_of):
+    return shape_of.get(name, ((), 0, 0))[1]
+
+
+def _raw_of(name, shape_of):
+    return shape_of.get(name, ((), 0, 0))[2]
+
+
+def _fusion_bytes(comp, call_ops, res_type, comp_insts, comp_params,
+                  comp_root, shape_of):
+    """HBM bytes one execution of a fusion streams, modeled from its body's
+    dataflow (still an upper bound, but space/aliasing/touch aware).
+    Memory spaces are read from the CALL SITE -- the fusion's result-type
+    members and its operands' own result types carry the buffer-assignment
+    ``S(1)`` annotations; body intermediates are unannotated and would
+    misprice a VMEM-resident fusion as HBM traffic.
+
+    writes: each result member (tuple members matched 1:1 with the body
+      root's operands) counts its member HBM bytes -- EXCEPT a
+      ``dynamic-update-slice`` member, which writes only its update slice
+      (XLA updates loop carries in place; the untouched region is never
+      rewritten).
+    reads: each parameter counts once, gated on the matching call operand's
+      space: full bytes if any body use consumes it wholesale; only the
+      touched bytes when every use is windowed -- ``dynamic-slice`` reads
+      its result size, ``gather`` on the table reads ~result-size rows, and
+      a ``dynamic-update-slice`` DESTINATION (operand 0) reads nothing
+      (in-place alias).  Without this, a while-loop carry fusion would be
+      priced as streaming whole pyramids every GN iteration -- the implied
+      bandwidth exceeded the measured peak 7x.
+    """
+    insts = comp_insts.get(comp, {})
+    root = comp_root.get(comp)
+
+    def canon(n):
+        seen = 0
+        while n in insts and insts[n][0] in ("bitcast", "copy") and \
+                insts[n][1] and seen < 10:
+            n = insts[n][1][0]
+            seen += 1
+        return n
+
+    # result members: spaces from the call-site type, ops from the body root
+    out_members = _SHAPE_RE.findall(res_type)
+    body_members = []
+    if root is not None:
+        r_op, r_ops = insts[root]
+        body_members = [canon(o) for o in r_ops] if r_op == "tuple" else \
+            [canon(root)]
+    w = 0
+    for i, mm in enumerate(out_members):
+        m_hbm, _ = _member_info(*mm)
+        if m_hbm == 0:
+            continue
+        m_op = insts.get(body_members[i], ("", []))[0] \
+            if i < len(body_members) else ""
+        if m_op == "dynamic-update-slice":
+            w += _raw_of(insts[body_members[i]][1][1], shape_of)  # update
+        else:
+            w += m_hbm
+
+    r = 0
+    for p, co in zip(comp_params.get(comp, []), call_ops):
+        if p is None:
+            continue
+        pb = _bytes_of(co, shape_of)     # call operand's space is definitive
+        if pb == 0:                      # VMEM/SMEM-resident: no HBM reads
+            continue
+        partial = 0
+        full = False
+        for iname, (iop, iops) in insts.items():
+            cops = [canon(o) for o in iops]
+            if p not in cops:
+                continue
+            if iop == "dynamic-slice" and cops[0] == p:
+                partial += _raw_of(iname, shape_of)
+            elif iop == "gather" and cops and cops[0] == p:
+                partial += _raw_of(iname, shape_of)
+            elif iop == "dynamic-update-slice" and cops[0] == p and \
+                    (p not in cops[1:]):
+                pass                      # in-place destination, not read
+            else:
+                full = True
+                break
+        r += pb if full else min(partial, pb)
+    return w + r
 
 
 def measured_hbm_gbps():
@@ -589,10 +784,11 @@ def main(argv=None):
         # execution-weighted matmul/conv FLOPs and HBM traffic from the
         # trace, so the GN while_loop's measured trip count is in the
         # number.  overall_mfu is the compute-roofline position;
-        # hbm_roofline_frac is the memory-roofline position -- the SLAM
-        # frame is expected to sit near the MEMORY roofline (tiny MLP,
-        # gather/elementwise heavy), so overall_mfu is honest context for
-        # decoder_mfu, not a target.
+        # hbm_roofline_frac the memory-roofline position.  With space-aware
+        # byte pricing both come out far below 1 -- XLA parks the frame's
+        # working set in VMEM, so the budget is bound by op-issue/VPU
+        # occupancy, not by either roofline; both fracs are context for
+        # decoder_mfu, not targets.
         gflops_frame = flops / n_frames / 1e9
         mfu = (flops / (total_us * 1e-6)) / (peak * 1e12)
         hbm_frac = (hbm_b / (total_us * 1e-6)) / (hbm_gbps * 1e9)
@@ -604,17 +800,21 @@ def main(argv=None):
             k: round(v / n_frames / 1e6, 1)
             for k, v in sorted(fam_bytes.items(), key=lambda kv: -kv[1])}
         out["bytes_accounting"] = (
-            "streamed-operand UPPER BOUND: every fusion is priced as "
-            "(operands + result) bytes, so an operand two fusions share "
-            "is counted twice; where a family's implied bandwidth "
-            "(mb_per_frame/stage_ms) exceeds measured_hbm_gbps the "
-            "over-count is visible.  hbm_roofline_frac is therefore an "
-            "upper bound on the memory-roofline position; the robust "
-            "conclusion is the arithmetic intensity "
-            "(program_gflops_per_frame/hbm_gb_per_frame ~ 3 flop/byte "
-            "vs the ~167 flop/byte ridge): the frame is traffic-shaped, "
-            "so further perf comes from moving fewer bytes, not fewer "
-            "flops.")
+            "memory-space-aware dataflow model: buffers with S(1)/S(2) "
+            "layout annotations (VMEM/SMEM, placed by XLA's memory-space-"
+            "assignment pass) price zero HBM bytes; the staging transfers "
+            "themselves (copy-start/-done, async slice prefetches) are "
+            "priced on their -done instruction, HBM side only; fusion "
+            "reads/writes are gated on call-site operand/result spaces "
+            "with windowed (dynamic-slice/gather) reads and in-place DUS "
+            "carries counted at touched size.  Still an upper bound "
+            "(shared operands may double-count), but per-family implied "
+            "bandwidth now sits below measured_hbm_gbps.  With the SLAM "
+            "working set VMEM-resident, hbm_roofline_frac is far below 1: "
+            "the frame is NOT HBM-bound -- the elementwise/copy budget is "
+            "VPU work and VMEM relayouts, i.e. occupancy/latency-shaped, "
+            "so further perf comes from fewer/larger ops in the GN loop, "
+            "not from reducing HBM traffic.")
     out["measurement_meta"] = {
         "chunks": args.chunks, "frames_per_chunk": CHUNK,
         "warmup_passes": 1, "timed_passes": 1,
