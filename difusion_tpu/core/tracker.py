@@ -280,16 +280,22 @@ def _window_stats(pc_map: jnp.ndarray, valid: jnp.ndarray, window: int,
             dz = nz_ - pz
             d2 = dx * dx + dy * dy + dz * dz
             wgt = jnp.where(d2 <= normal_r2, nok, 0.0)
-            upd = jnp.stack([jnp.where(d2 <= outlier_r2, nok, 0.0), wgt,
-                             wgt * nx_, wgt * ny_, wgt * nz_,
-                             wgt * nx_ * nx_, wgt * nx_ * ny_,
-                             wgt * nx_ * nz_, wgt * ny_ * ny_,
-                             wgt * ny_ * nz_, wgt * nz_ * nz_])
-            return acc + upd, None
+            # the accumulator is a TUPLE of 11 (h, w) planes, not a stacked
+            # (11, h, w) array: the stack's 11-way concatenate lowered to 11
+            # dynamic-update-slices into a fresh slab EVERY iteration --
+            # 0.46 ms/frame of tiny DUS fusions, 6x the body's arithmetic
+            # (round-4 trace).  Tuple adds fuse into the body instead.
+            upd = (jnp.where(d2 <= outlier_r2, nok, 0.0), wgt,
+                   wgt * nx_, wgt * ny_, wgt * nz_,
+                   wgt * nx_ * nx_, wgt * nx_ * ny_,
+                   wgt * nx_ * nz_, wgt * ny_ * ny_,
+                   wgt * ny_ * nz_, wgt * nz_ * nz_)
+            return tuple(a + u for a, u in zip(acc, upd)), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((11, h, w), jnp.float32),
-                              offs, unroll=2 * window + 1)
-        sums = tuple(acc)
+        sums, _ = jax.lax.scan(body,
+                               tuple(jnp.zeros((h, w), jnp.float32)
+                                     for _ in range(11)),
+                               offs, unroll=2 * window + 1)
     else:
         def patches(img):
             padded = jnp.pad(img, window)

@@ -41,6 +41,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CHUNK = 12
+# denominator benches repeat N times, best kept: the round-3 advisor flagged
+# an unexplained 5% peak drop between artifacts -- single-shot peaks are
+# hostage to box contention; the best of N is the hardware number
+_PEAK_REPEATS = 3
 
 _OP_FAMILIES = (
     ("matmul", ("dot(", "dot-general", "convolution")),
@@ -490,10 +494,12 @@ def measured_hbm_gbps():
 
     x = jnp.ones((n,), jnp.float32)
     float(run(x))
-    t0 = time.perf_counter()
-    float(run(x))
-    dt = time.perf_counter() - t0
-    return 2.0 * 4.0 * n * k_iter / dt / 1e9
+    best = float("inf")
+    for _ in range(_PEAK_REPEATS):      # best-of-N: contention only slows
+        t0 = time.perf_counter()
+        float(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * 4.0 * n * k_iter / best / 1e9
 
 
 _REGIONS = (
@@ -615,10 +621,12 @@ def measured_peak_tflops():
     a = (jnp.eye(n, dtype=jnp.bfloat16) * 0.999)
     b = jnp.eye(n, dtype=jnp.bfloat16)
     float(run(a, b))                          # compile + flush
-    t0 = time.perf_counter()
-    float(run(a, b))
-    dt = time.perf_counter() - t0
-    return 2.0 * n ** 3 * k_iter / dt / 1e12
+    best = float("inf")
+    for _ in range(_PEAK_REPEATS):      # best-of-N: contention only slows
+        t0 = time.perf_counter()
+        float(run(a, b))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * n ** 3 * k_iter / best / 1e12
 
 
 def decoder_microbench(system, peak_tflops: float, n_points: int = 8192,
@@ -701,13 +709,17 @@ def main(argv=None):
     dec_bench = decoder_microbench(system, peak)
     print(f"decoder microbench: {dec_bench}", flush=True)
 
-    # untraced timing (the profiler inflates wall time on this transport)
-    t0 = time.perf_counter()
-    for c in dev_chunks:
-        system.process_chunk(c, h, w)
-    np.asarray(system.tracker.last_pose.t)
+    # untraced timing (the profiler inflates wall time on this transport):
+    # median of N passes, individual passes recorded for auditability
     n_frames = args.chunks * CHUNK
-    frame_ms = 1e3 * (time.perf_counter() - t0) / n_frames
+    frame_ms_passes = []
+    for _ in range(_PEAK_REPEATS):
+        t0 = time.perf_counter()
+        for c in dev_chunks:
+            system.process_chunk(c, h, w)
+        np.asarray(system.tracker.last_pose.t)
+        frame_ms_passes.append(1e3 * (time.perf_counter() - t0) / n_frames)
+    frame_ms = sorted(frame_ms_passes)[len(frame_ms_passes) // 2]
 
     hbm_gbps = measured_hbm_gbps()
     print(f"measured HBM stream bandwidth: {hbm_gbps:.0f} GB/s", flush=True)
@@ -817,9 +829,12 @@ def main(argv=None):
             "not from reducing HBM traffic.")
     out["measurement_meta"] = {
         "chunks": args.chunks, "frames_per_chunk": CHUNK,
-        "warmup_passes": 1, "timed_passes": 1,
-        "peak_bench": "4096^3 bf16 matmul x32, scalar out",
-        "hbm_bench": "1GB f32 stream x24, scalar out",
+        "warmup_passes": 1, "timed_passes": _PEAK_REPEATS,
+        "frame_ms_passes": [round(p, 2) for p in frame_ms_passes],
+        "peak_bench": f"4096^3 bf16 matmul x32, scalar out, "
+                      f"best of {_PEAK_REPEATS}",
+        "hbm_bench": f"1GB f32 stream x24, scalar out, "
+                     f"best of {_PEAK_REPEATS}",
         "device": jax.devices()[0].device_kind,
         "date": time.strftime("%Y-%m-%d"),
     }
