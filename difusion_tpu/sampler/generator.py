@@ -118,6 +118,73 @@ class SimpleShapeGenerator:
         self._cache.pop(idx, None)
 
 
+class HeightFieldGenerator:
+    """Random smooth height-field sheets: a data-free corpus of gently
+    curved OPEN surfaces -- the local geometry a depth camera actually sees
+    indoors (walls, floors, curved sheets), which the closed
+    box/sphere/cylinder corpus under-represents.  No reference counterpart
+    (the reference's only data-free provider is simple_shape.py); the
+    payload/acceptance format is identical to the other providers, so
+    height-field datasets mix freely with them in a trainer ``train_set``.
+
+    Each sheet is a sum of ``n_waves`` random low-frequency sinusoids over
+    an ``extent`` x ``extent`` grid, randomly oriented.  The sampler's
+    z-buffer visibility and 11-vote kNN sign handle open sheets exactly as
+    they handle real scan crops (front/back views see opposite signs from
+    the face normals' consistent winding)."""
+
+    def __init__(self, n_shapes: int, seed: int = 0, extent: float = 2.4,
+                 grid: int = 56, n_waves: int = 4):
+        self.n_shapes = n_shapes
+        self.seed = seed
+        self.extent = extent
+        self.grid = grid
+        self.n_waves = n_waves
+        self._cache = {}
+
+    def __len__(self):
+        return self.n_shapes
+
+    def get_source(self, idx):
+        return "HeightField"
+
+    def _build(self, idx) -> mesh_io.TriMesh:
+        rng = np.random.default_rng((self.seed, idx))
+        g, e = self.grid, self.extent
+        lin = np.linspace(-e / 2, e / 2, g, dtype=np.float32)
+        xx, yy = np.meshgrid(lin, lin, indexing="ij")
+        zz = np.zeros_like(xx)
+        for _ in range(self.n_waves):
+            fx, fy = rng.uniform(0.4, 3.0, 2)        # cycles over the sheet
+            px, py = rng.uniform(0.0, 2.0 * np.pi, 2)
+            amp = rng.uniform(0.02, 0.18)
+            zz += amp * np.sin(2 * np.pi * fx * xx / e + px) \
+                      * np.cos(2 * np.pi * fy * yy / e + py)
+        v = np.stack([xx, yy, zz], -1).reshape(-1, 3).astype(np.float32)
+        i = np.arange(g * g, dtype=np.int32).reshape(g, g)
+        quad = np.stack([i[:-1, :-1], i[1:, :-1], i[1:, 1:], i[:-1, 1:]],
+                        -1).reshape(-1, 4)
+        faces = np.concatenate([quad[:, [0, 1, 2]],
+                                quad[:, [0, 2, 3]]]).astype(np.int32)
+        tf = Isometry.random(rng)
+        tf.t = rng.uniform(-0.3, 0.3, size=3)
+        return mesh_io.TriMesh(v, faces).transformed(
+            tf.matrix.astype(np.float32))
+
+    def __getitem__(self, idx):
+        mesh = self._build(idx)
+        self._cache[idx] = mesh
+        lo, hi = mesh.bounds()
+        center = (lo + hi) / 2
+        cam_scale = max(float(np.linalg.norm(hi - center)) * 1.1, 0.8)
+        cams = [Isometry.look_at(p * cam_scale + center, center)
+                for p in equidist_points_on_sphere(100)]
+        return mesh, (cam_scale, cams), 1.0
+
+    def clean(self, idx):
+        self._cache.pop(idx, None)
+
+
 def split_into_lifs(data_arr: np.ndarray, surface_arr: np.ndarray,
                     voxel_size: float, nn_size: float = 2.0):
     """Partition SDF/surface sample clouds into per-voxel LIF payloads.
@@ -198,6 +265,7 @@ def run_generation(args, sampler_cfg: Optional[SamplerConfig] = None) -> int:
     providers = {
         "simple_shape": SimpleShapeGenerator,
         "shapenet_model": ShapeNetGenerator,
+        "height_field": HeightFieldGenerator,
     }
     provider = providers[args.provider](**args.provider_kwargs)
     output_path = Path(args.output)

@@ -106,6 +106,43 @@ def test_sdf_matches_analytic_sphere():
 
 
 @pytest.mark.slow
+def test_height_field_provider(tmp_path):
+    """The open-sheet data-free provider: consistent mesh topology/normals,
+    and run_generation accepts it end-to-end into LIF payloads."""
+    gen = generator.HeightFieldGenerator(n_shapes=3, seed=7, grid=24)
+    mesh, (cam_scale, cams), scale = gen[0]
+    g = 24
+    assert mesh.vertices.shape == (g * g, 3)
+    assert mesh.faces.shape == (2 * (g - 1) ** 2, 3)
+    n = mesh.face_normals()
+    assert np.isfinite(n).all()
+    # sheet is smooth: adjacent face normals nearly parallel (winding is
+    # consistent, so the sign vote sees one coherent side)
+    assert float(np.sum(n[0] * n[1])) > 0.5
+    assert len(cams) == 100 and scale == 1.0
+    # deterministic rebuild per index
+    m2 = generator.HeightFieldGenerator(n_shapes=3, seed=7, grid=24)[0][0]
+    assert np.array_equal(mesh.vertices, m2.vertices)
+
+    args = dict_to_args(dict(
+        provider="height_field",
+        provider_kwargs=dict(n_shapes=2, seed=7, grid=32),
+        output=str(tmp_path / "hf_lifs"),
+        sampler_count=20000, sampler_var=0.005,
+        voxel_size=0.4, nn_size=2.0, seed=4,
+    ))
+    cfg = SamplerConfig(num_sample=20000, n_surface_candidates=60000,
+                        zbuffer_res=200)
+    n_lifs = generator.run_generation(args, cfg)
+    assert n_lifs > 3
+    from difusion_tpu.train import lif_dataset as ldata
+    ds = ldata.LifDataset(str(tmp_path / "hf_lifs"), num_sample=128,
+                          num_surface_sample=64)
+    samples, surf = ds[0]
+    assert samples.shape == (128, 4) and surf.shape == (64, 6)
+    assert np.isfinite(samples).all() and np.isfinite(surf).all()
+
+
 def test_generator_to_training_end_to_end(tmp_path):
     """Config-5 analog: generate LIF payloads from simple shapes, then run
     train steps on them (sampler -> generator -> dataset -> trainer)."""
