@@ -168,6 +168,34 @@ ENTRY %main (a: f32[240,320], b: f32[240,320]) -> f32[240,320] {
 """
 
 
+SYNC_OPS_HLO = """\
+HloModule jit_sync, entry_computation_layout={...}
+
+ENTRY %main (a: f32[1024,64], u: f32[16,64]) -> f32[256,64] {
+  %a = f32[1024,64]{1,0:T(8,128)} parameter(0)
+  %u = f32[16,64]{1,0:T(8,128)} parameter(1)
+  %vs = f32[1024,64]{1,0:T(8,128)S(1)} parameter(2)
+  %i0 = s32[]{:S(2)} parameter(3)
+  %slice.1 = f32[256,64]{1,0:T(8,128)S(1)} slice(%a), slice={[0:256], [0:64]}
+  %slice.2 = f32[256,64]{1,0:T(8,128)} slice(%vs), slice={[0:256], [0:64]}
+  ROOT %dynamic-update-slice.1 = f32[1024,64]{1,0:T(8,128)} dynamic-update-slice(%a, %u, %i0, %i0)
+}
+"""
+
+
+def test_sync_windowed_ops_touched_bytes_only():
+    """Sync slices read only the touched (result-raw) region of an HBM
+    source and write only an HBM destination; a DUS on an HBM dest reads
+    its update and rewrites only the update region (in-place alias)."""
+    costs = build_fusion_costs(SYNC_OPS_HLO)
+    # HBM source -> VMEM dest: read 256x64 f32, write 0
+    assert costs["slice.1"] == (0.0, 256 * 64 * 4)
+    # VMEM source -> HBM dest: read 0, write 256x64
+    assert costs["slice.2"] == (0.0, 256 * 64 * 4)
+    # DUS: update 16x64 read + written once; the 1024x64 dest is aliased
+    assert costs["dynamic-update-slice.1"] == (0.0, 2 * 16 * 64 * 4)
+
+
 def test_fusion_spaces_read_from_call_site():
     """The fusion's result type and its operands' own types carry the
     buffer-assignment S(1) annotations; body intermediates are unannotated
