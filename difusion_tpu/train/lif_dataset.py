@@ -64,12 +64,24 @@ class LifDataset:
     def __init__(self, data_path: str, num_sample: int,
                  num_surface_sample: int = 0, augment_rotation: Optional[str] = None,
                  augment_noise: Tuple[float, float] = (0.0, 0.0),
-                 surface_format: str = "xyzn", seed: int = 0):
-        # the reference prefixes cache specs like "cached$local://<path>";
-        # strip any scheme decoration down to the filesystem path
+                 surface_format: str = "xyzn", seed: int = 0,
+                 cache_payloads: bool = False):
+        # the reference prefixes cache specs like "cached$local://<path>"
+        # (dataset/base.py expand_path); "cached$" means the payload set is
+        # held in RAM after first touch.  Honor that here: with ~3 MB/LIF a
+        # study corpus is a few GB, and on a 1-core host the repeated
+        # per-epoch npz reads are a large share of trainer wall time, so the
+        # scheme is a real knob, not decoration.
+        cache = cache_payloads
+        if data_path.startswith("cached$"):
+            data_path = data_path[len("cached$"):]
+            cache = True
         if "://" in data_path:
             data_path = data_path.split("://", 1)[1]
         self.data_path = Path(data_path)
+        # dict get/set are atomic under the GIL -> thread-safe for the batch
+        # prefetch pool; worst case two threads load the same idx once
+        self._cache: Optional[dict] = {} if cache else None
         with (self.data_path / "source.json").open() as f:
             self.data_sources = json.load(f)
         self.num_sample = num_sample
@@ -86,6 +98,14 @@ class LifDataset:
         return len(self.data_sources)
 
     def get_raw_data(self, idx: int):
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is None:
+                with np.load(self.data_path / "payload"
+                             / ("%08d.npz" % idx)) as raw:
+                    hit = {k: raw[k] for k in raw.files}
+                self._cache[idx] = hit
+            return hit
         return np.load(self.data_path / "payload" / ("%08d.npz" % idx))
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:

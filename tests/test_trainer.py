@@ -70,6 +70,27 @@ def test_lif_dataset_sampling(lif_dir):
     assert batches[0][1].shape == (4, 32, 6)
 
 
+def test_lif_dataset_cached_scheme(lif_dir):
+    """The reference's 'cached$local://<path>' scheme holds payloads in RAM
+    after first touch (reference dataset path decoration); raw payloads must
+    be identical through the cache, and draws stay stochastic."""
+    plain = ldata.LifDataset(str(lif_dir), num_sample=64,
+                             num_surface_sample=32)
+    cached = ldata.LifDataset("cached$local://" + str(lif_dir), num_sample=64,
+                              num_surface_sample=32)
+    assert cached._cache is not None and plain._cache is None
+    for i in range(min(3, len(plain))):
+        a, b = plain.get_raw_data(i), cached.get_raw_data(i)
+        np.testing.assert_array_equal(a["data"], b["data"])
+        np.testing.assert_array_equal(a["surface"], b["surface"])
+    assert len(cached._cache) >= 1
+    # second touch serves from RAM (same object) and samples still vary
+    assert cached.get_raw_data(0) is cached.get_raw_data(0)
+    s1, _ = cached[0]
+    s2, _ = cached[0]
+    assert not np.array_equal(s1, s2)
+
+
 def test_train_step_reduces_loss(lif_dir):
     ds = ldata.LifDataset(str(lif_dir), num_sample=128, num_surface_sample=64)
     state = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
