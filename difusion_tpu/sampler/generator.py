@@ -297,7 +297,9 @@ def run_generation(args, sampler_cfg: Optional[SamplerConfig] = None) -> int:
 
 def main(argv=None):
     from ..config import ArgumentParserX
+    from ..utils.jaxtools import enable_persistent_compilation_cache
     logging.basicConfig(level=logging.INFO)
+    enable_persistent_compilation_cache()   # bucket compiles survive reruns
     parser = ArgumentParserX(add_hyper_arg=True,
                              description="difusion-tpu LIF data generator")
     args = parser.parse_args(argv)

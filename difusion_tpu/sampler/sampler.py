@@ -158,11 +158,27 @@ def _sdf_chunk(q: jnp.ndarray, ref_xyz: jnp.ndarray, ref_normal: jnp.ndarray,
 def compute_sdf(queries: np.ndarray, ref_xyz: np.ndarray, ref_normal: np.ndarray,
                 stdv: float, max_ref_dist: float = 1e8, num_votes: int = 11,
                 chunk: int = 8192) -> np.ndarray:
-    """11-vote signed distance of ``queries`` to the surface cloud."""
+    """11-vote signed distance of ``queries`` to the surface cloud.
+
+    The reference cloud is padded to the next power of two so the jitted
+    chunk kernel compiles once per SIZE BUCKET, not once per mesh: the
+    visible-sample count varies mesh to mesh, and on the remote-compile TPU
+    service a fresh trace costs minutes -- a per-mesh retrace turns corpus
+    generation into hours.  Pad rows sit at 1e9 on each axis, so their
+    squared distance (~3e18, exact in f32) can never enter the top-k of any
+    real query and the votes are bit-identical to the unpadded program."""
     n = len(queries)
     n_pad = (n + chunk - 1) // chunk * chunk
     q = np.zeros((n_pad, 3), np.float32)
     q[:n] = queries
+    r_real = len(ref_xyz)
+    r_pad = max(1 << (r_real - 1).bit_length(), 1024)
+    if r_pad != r_real:
+        ref_xyz = np.concatenate(
+            [ref_xyz, np.full((r_pad - r_real, 3), 1e9, np.float32)])
+        ref_normal = np.concatenate(
+            [ref_normal,
+             np.tile(np.array([[1, 0, 0]], np.float32), (r_pad - r_real, 1))])
     rx = jnp.asarray(ref_xyz)
     rn = jnp.asarray(ref_normal)
     r2 = jnp.sum(rx * rx, axis=1)

@@ -105,6 +105,30 @@ def test_sdf_matches_analytic_sphere():
     assert (data[:, 3] < 0).mean() > 0.1
 
 
+def test_compute_sdf_ref_bucketing():
+    """Reference clouds are padded to pow2 buckets so the chunk kernel
+    compiles once per bucket, not once per mesh (the remote-compile service
+    prices a retrace in minutes).  Two different ref sizes in one bucket
+    must share a trace, and padding must not perturb the votes."""
+    from difusion_tpu.sampler.sampler import _sdf_chunk
+    rng = np.random.default_rng(7)
+    ref = rng.standard_normal((1500, 3)).astype(np.float32)
+    nrm = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    q = rng.standard_normal((500, 3)).astype(np.float32) * 0.5
+    before = _sdf_chunk._cache_size()
+    a = compute_sdf(q, ref, nrm, stdv=0.07, chunk=512)
+    mid = _sdf_chunk._cache_size()
+    b = compute_sdf(q, ref[:1200], nrm[:1200], stdv=0.07, chunk=512)
+    assert _sdf_chunk._cache_size() == mid > before   # same 2048 bucket
+    # exact-bucket-size ref (no padding) agrees with a padded superset that
+    # contains the same nearest neighbours
+    far = np.full((548, 3), 50.0, np.float32)
+    c = compute_sdf(q, np.concatenate([ref, far]),
+                    np.concatenate([nrm, nrm[:548]]), stdv=0.07, chunk=512)
+    np.testing.assert_array_equal(a, c)
+    assert np.isfinite(b[~np.isnan(b)]).all()
+
+
 @pytest.mark.slow
 def test_height_field_provider(tmp_path):
     """The open-sheet data-free provider: consistent mesh topology/normals,
