@@ -129,16 +129,53 @@ def visible_surface_samples(mesh: TriMesh, cameras: list, half_window: float,
 # ---------------------------------------------------------------------------
 
 
+# reference-axis tile for the kNN distance pass: the (Q, tile) distance
+# slab is the kernel's live memory (8192 x 32768 x 4 B = 1 GiB), reused
+# across tiles by the scan.  A single un-tiled pass materializes (Q, R)
+# -- at R = 512k that is 16 GiB and an HBM OOM at compile time.
+REF_TILE = 32768
+
+
 @partial(jax.jit, static_argnames=("num_votes",))
 def _sdf_chunk(q: jnp.ndarray, ref_xyz: jnp.ndarray, ref_normal: jnp.ndarray,
                ref_norm2: jnp.ndarray, stdv: jnp.ndarray,
                max_ref_dist: jnp.ndarray, num_votes: int) -> jnp.ndarray:
     """SDF of one query chunk (Q, 3) against the reference surface cloud
     (ComputeSDFKernel semantics).  Distances via ||q||^2 + ||r||^2 - 2 q.r on
-    the MXU; NaN marks ambiguous sign votes."""
-    d2 = (jnp.sum(q * q, axis=1)[:, None] + ref_norm2[None, :]
-          - 2.0 * q @ ref_xyz.T)                              # (Q, R)
-    neg_d2, idx = jax.lax.top_k(-d2, num_votes)               # (Q, K)
+    the MXU; NaN marks ambiguous sign votes.
+
+    The reference axis is processed in ``REF_TILE`` tiles under a
+    ``lax.scan`` carrying the running top-k (k = num_votes): memory stays
+    bounded at (Q, REF_TILE) for any cloud size.  Tie-breaking matches the
+    single-pass ``top_k`` exactly -- within a tile ``top_k`` is stable
+    (lowest index wins), and the merge concatenates the carry (earlier
+    tiles, i.e. lower global indices) before the new tile's candidates, so
+    equal distances still resolve to the lowest global index."""
+    qn2 = jnp.sum(q * q, axis=1)[:, None]                     # (Q, 1)
+    R = ref_xyz.shape[0]
+    tile = min(REF_TILE, R)
+    if R == tile:                                             # single pass
+        d2 = qn2 + ref_norm2[None, :] - 2.0 * q @ ref_xyz.T   # (Q, R)
+        neg_d2, idx = jax.lax.top_k(-d2, num_votes)           # (Q, K)
+    else:
+        assert R % tile == 0, (R, tile)   # compute_sdf pads to tile multiple
+
+        def body(carry, s):
+            bd2, bidx = carry
+            rx = jax.lax.dynamic_slice(ref_xyz, (s, 0), (tile, 3))
+            r2t = jax.lax.dynamic_slice(ref_norm2, (s,), (tile,))
+            nd2 = -(qn2 + r2t[None, :] - 2.0 * q @ rx.T)      # (Q, tile)
+            td2, tidx = jax.lax.top_k(nd2, num_votes)
+            cd2 = jnp.concatenate([bd2, td2], axis=1)         # carry first:
+            cidx = jnp.concatenate([bidx, tidx + s], axis=1)  # ties -> low idx
+            md2, mpos = jax.lax.top_k(cd2, num_votes)
+            midx = jnp.take_along_axis(cidx, mpos, axis=1)
+            return (md2, midx), None
+
+        init = (jnp.full((q.shape[0], num_votes), -jnp.inf, jnp.float32),
+                jnp.zeros((q.shape[0], num_votes), jnp.int32))
+        starts = jnp.arange(R // tile, dtype=jnp.int32) * tile
+        (neg_d2, idx), _ = jax.lax.scan(body, init, starts)
     nb = ref_xyz[idx]                                         # (Q, K, 3)
     nn = ref_normal[idx]
     ray = q[:, None, :] - nb                                  # (Q, K, 3)
@@ -160,19 +197,24 @@ def compute_sdf(queries: np.ndarray, ref_xyz: np.ndarray, ref_normal: np.ndarray
                 chunk: int = 8192) -> np.ndarray:
     """11-vote signed distance of ``queries`` to the surface cloud.
 
-    The reference cloud is padded to the next power of two so the jitted
-    chunk kernel compiles once per SIZE BUCKET, not once per mesh: the
-    visible-sample count varies mesh to mesh, and on the remote-compile TPU
-    service a fresh trace costs minutes -- a per-mesh retrace turns corpus
-    generation into hours.  Pad rows sit at 1e9 on each axis, so their
-    squared distance (~3e18, exact in f32) can never enter the top-k of any
-    real query and the votes are bit-identical to the unpadded program."""
+    The reference cloud is padded to a power-of-two size (up to
+    ``REF_TILE``, then to a power-of-two COUNT of ``REF_TILE`` tiles) so
+    the jitted chunk kernel compiles once per SIZE BUCKET, not once per
+    mesh: the visible-sample count varies mesh to mesh, and on the
+    remote-compile TPU service a fresh trace costs minutes -- a per-mesh
+    retrace turns corpus generation into hours.  Pad rows sit at 1e9 on
+    each axis, so their squared distance (~3e18, exact in f32) can never
+    enter the top-k of any real query and the votes are bit-identical to
+    the unpadded program."""
     n = len(queries)
     n_pad = (n + chunk - 1) // chunk * chunk
     q = np.zeros((n_pad, 3), np.float32)
     q[:n] = queries
     r_real = len(ref_xyz)
     r_pad = max(1 << (r_real - 1).bit_length(), 1024)
+    if r_pad > REF_TILE:   # pow2 number of REF_TILE-sized scan tiles
+        n_tiles = -(-r_real // REF_TILE)
+        r_pad = REF_TILE * (1 << (n_tiles - 1).bit_length())
     if r_pad != r_real:
         ref_xyz = np.concatenate(
             [ref_xyz, np.full((r_pad - r_real, 3), 1e9, np.float32)])

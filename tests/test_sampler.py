@@ -129,6 +129,28 @@ def test_compute_sdf_ref_bucketing():
     assert np.isfinite(b[~np.isnan(b)]).all()
 
 
+def test_compute_sdf_ref_tiling_matches_single_pass(monkeypatch):
+    """Large reference clouds run the scanned REF_TILE top-k merge (the
+    single-pass (Q, R) distance slab OOMs HBM at R ~ 512k: 16 GiB at
+    Q = 8192).  The merge must be bit-identical to the single pass,
+    including NaN ambiguous-vote positions and tie resolution."""
+    from difusion_tpu.sampler import sampler as S
+    rng = np.random.default_rng(11)
+    ref = rng.standard_normal((5000, 3)).astype(np.float32)
+    nrm = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    q = rng.standard_normal((700, 3)).astype(np.float32) * 0.5
+    monkeypatch.setattr(S, "REF_TILE", 2048)   # 5000 -> 4 tiles (8192 pad)
+    S._sdf_chunk.clear_cache()
+    tiled = S.compute_sdf(q, ref, nrm, stdv=0.07, chunk=512)
+    monkeypatch.setattr(S, "REF_TILE", 1 << 20)
+    S._sdf_chunk.clear_cache()
+    single = S.compute_sdf(q, ref, nrm, stdv=0.07, chunk=512)
+    S._sdf_chunk.clear_cache()
+    np.testing.assert_array_equal(np.isnan(tiled), np.isnan(single))
+    m = ~np.isnan(tiled)
+    np.testing.assert_array_equal(tiled[m], single[m])
+
+
 @pytest.mark.slow
 def test_height_field_provider(tmp_path):
     """The open-sheet data-free provider: consistent mesh topology/normals,
