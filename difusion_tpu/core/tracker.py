@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decoder import DecoderSpec
-from ..ops import imgproc
+from ..ops import compsum, imgproc
 from ..ops.imgproc import Intrinsic, Pyramid
 from ..ops.pcproc import point_box_filter
 from ..ops.se3 import Pose, exp_twist
@@ -166,6 +166,18 @@ class TrackerConfig(NamedTuple):
     # (2e-6 kernel parity, test_decoder_fused.py; term-level parity,
     # test_tracker.py::test_sdf_term_fused_matches_vjp).
     sdf_fused: str = "off"
+    # Normal-equation accumulation/solve numerics.  "f32" (default) uses
+    # plain XLA tree-reductions; "compensated" accumulates every term's
+    # H | g | E through the order-robust pairwise-TwoSum cascade
+    # (ops/compsum.gram_compensated) and adds one iterative-refinement step
+    # to the 6x6 solve.  This is the TPU answer to the reference's per-
+    # iteration float64 HOST solve (reference tracker.py:272 with .cpu()
+    # syncs at :170,218): TPUs have no native f64, but compensated f32
+    # accumulation makes H, g independent of XLA's reduction order at f32
+    # resolution -- the lever for the documented ~30% loop300-noisy ATE
+    # sensitivity band caused by fusion-order perturbations compounding
+    # over 240 frames (ACCURACY_r04 loop_noisy_variance).
+    solve_dtype: str = "f32"
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -211,6 +223,7 @@ class TrackerConfig(NamedTuple):
             rgb_fullres_K=bool(getattr(args, "rgb_fullres_K",
                                        d["rgb_fullres_K"])),
             sdf_fused=str(getattr(args, "sdf_fused", d["sdf_fused"])),
+            solve_dtype=str(getattr(args, "solve_dtype", d["solve_dtype"])),
         )
 
 
@@ -553,7 +566,8 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               state: M.MapState, last: Pose, delta: Pose,
               pts: jnp.ndarray, mask: jnp.ndarray, robust_kernel: str,
               robust_k: float, compute_dtype=jnp.float32,
-              aug_table: jnp.ndarray = None, fused: bool = False):
+              aug_table: jnp.ndarray = None, fused: bool = False,
+              compensated: bool = False):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
     (reference compute_sdf_Hg, tracker.py:174-218).  ``aug_table`` is the
     caller's per-frame :func:`~difusion_tpu.core.map.latent_count_table`
@@ -600,6 +614,13 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
 
     w = jnp.where(ok, _robust_weight(r, robust_kernel, robust_k), 0.0)
     scale = 1.0 / jnp.maximum(ok.sum(), 1).astype(r.dtype)
+    if compensated:
+        # one compensated Gram of [J | r]: M[:6,:6] = H, M[:6,6] = g,
+        # M[6,6] = E, each accurate to ~1 ulp of the exact f32-product sum
+        # regardless of XLA reduction order (ops/compsum docstring)
+        Mm = compsum.gram_compensated(
+            jnp.concatenate([J, r[:, None]], axis=1), w, scale)
+        return Mm[:6, :6], Mm[:6, 6], Mm[6, 6]
     H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
     g = jnp.sum(J * (w * r)[:, None], axis=0) * scale
     energy = jnp.sum(w * r * r) * scale
@@ -639,7 +660,7 @@ def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
 
 def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
               prev: Pyramid, cur_level, prev_tex, delta: Pose,
-              rgb_weight: jnp.ndarray):
+              rgb_weight: jnp.ndarray, compensated: bool = False):
     """Photometric residual over pyramid level ``level`` (reference
     compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level.
     ``cur_level`` comes from :func:`_rgb_level_inputs`; ``prev_tex`` is the
@@ -678,6 +699,13 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
                                           tcfg.rgb_robust_k), 0.0)
         scale = rgb_weight / jnp.maximum(ok3.sum(), 1).astype(f3.dtype)
         r7 = jnp.concatenate([J3, f3[None]], axis=0)       # (7, 4, H2, W2)
+        if compensated:
+            # flatten to (N, 7) for the cascade; the relayout this forces
+            # is exactly what the plain path's 4D contraction avoids --
+            # acceptable under the accuracy opt-in
+            M = compsum.gram_compensated(r7.reshape(7, -1).T, w.reshape(-1),
+                                         scale)
+            return M[:6, :6], M[:6, 6], M[6, 6]
         M = jnp.einsum("aphw,bphw->ab", r7 * w[None], r7) * scale
         return M[:6, :6], M[:6, 6], M[6, 6]
 
@@ -697,18 +725,30 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     w = jnp.where(okf, _robust_weight(f, tcfg.rgb_robust_kernel,
                                       tcfg.rgb_robust_k), 0.0)
     scale = rgb_weight / jnp.maximum(okf.sum(), 1).astype(f.dtype)
+    if compensated:
+        M = compsum.gram_compensated(
+            jnp.concatenate([J, f[:, None]], axis=1), w, scale)
+        return M[:6, :6], M[:6, 6], M[6, 6]
     H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
     g = jnp.sum(J * (w * f)[:, None], axis=0) * scale
     energy = jnp.sum(w * f * f) * scale
     return H, g, energy
 
 
-def _solve_precond(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+def _solve_precond(H: jnp.ndarray, g: jnp.ndarray,
+                   refine: bool = False) -> jnp.ndarray:
     """Jacobi-preconditioned 6x6 solve in f32 (replaces the reference's
-    float64 host solve, tracker.py:272)."""
+    float64 host solve, tracker.py:272).  ``refine=True`` (the
+    solve_dtype="compensated" path) adds one iterative-refinement step --
+    residual in the preconditioned frame + a second solve -- which recovers
+    near-f64 solution quality for the well-scaled 6x6 system at the cost of
+    one extra tiny solve."""
     d = jnp.sqrt(jnp.abs(jnp.diag(H)) + 1e-12)
-    Hn = H / (d[:, None] * d[None, :])
-    xi = jnp.linalg.solve(Hn + 1e-9 * jnp.eye(6, dtype=H.dtype), -g / d)
+    Hr = H / (d[:, None] * d[None, :]) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+    b = -g / d
+    xi = jnp.linalg.solve(Hr, b)
+    if refine:
+        xi = xi + jnp.linalg.solve(Hr, b - Hr @ xi)
     return xi / d
 
 
@@ -783,6 +823,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     # them): every SDF query then needs one row gather instead of two
     aug_table = jax.lax.optimization_barrier(M.latent_count_table(state))
     sdf_fused = resolve_sdf_fused(tcfg, spec)
+    compensated = tcfg.solve_dtype == "compensated"
 
     def eval_Hg(delta: Pose, terms, is_last_group: bool):
         H = jnp.zeros((6, 6), jnp.float32)
@@ -799,12 +840,13 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                                        delta, cur.pts_cam, cur.pc_mask,
                                        tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
                                        compute_dtype=sdf_dtype,
-                                       aug_table=aug_table, fused=sdf_fused)
+                                       aug_table=aug_table, fused=sdf_fused,
+                                       compensated=compensated)
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur_levels[int(term[1])],
                                        prev_texs[int(term[1])], delta,
-                                       rgb_weight)
+                                       rgb_weight, compensated=compensated)
             else:
                 raise ValueError(f"unknown GN term {term!r}")
             H, g, E = H + tH, g + tg, E + tE
@@ -831,7 +873,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             bR2 = jnp.where(accept, dR, bR)
             bt2 = jnp.where(accept, dt, bt)
             bE2 = jnp.where(accept, E, bE)
-            xi = _solve_precond(H, g)
+            xi = _solve_precond(H, g, refine=compensated)
             xi_ok = jnp.all(jnp.isfinite(xi))
             upd = exp_twist(jnp.where(xi_ok, xi, jnp.zeros(6, xi.dtype)))
             is_last = i == n
