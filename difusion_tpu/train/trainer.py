@@ -265,6 +265,18 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
         ldata.LifDataset(**t, num_sample=hyper["samples_per_lif"])
         for t in hyper["train_set"]])
     logging.info("dataset: %d LIFs", len(dataset))
+    # `loader: packed` (default) assembles whole batches as vectorized numpy
+    # gathers over epoch-level pre-packed arrays -- on the 1-core host the
+    # per-item path leaves the device idle ~70-95% of the time (the
+    # reference needs 8 DataLoader workers for the same reason,
+    # network_trainer.py:68); `loader: threaded` keeps the per-item thread
+    # pool for corpora too big to pack in RAM
+    loader_kind = str(hyper.get("loader", "packed"))
+    packed = ldata.pack_dataset(dataset) if loader_kind == "packed" else None
+    if packed is not None:
+        logging.info("packed loader: %.1f MB resident",
+                     sum(a.nbytes for p in getattr(packed, "packs", [packed])
+                         for a in (p.pos, p.neg, p.surf)) / 1e6)
 
     # epoch-level resume: `resume_epoch: E` reloads prior_E.npz +
     # training_E.npz (optimizer state) and continues at epoch E+1 -- the
@@ -321,9 +333,12 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
         meter = LossMeter()
         t_epoch = time.perf_counter()
         n_batches = 0
-        for sdf_data, surface, idx in ldata.iterate_batches(
-                dataset, hyper["batch_size"], rng,
-                n_workers=int(hyper.get("loader_workers", 4))):
+        batches = (ldata.iterate_batches_packed(packed, hyper["batch_size"], rng)
+                   if packed is not None else
+                   ldata.iterate_batches(
+                       dataset, hyper["batch_size"], rng,
+                       n_workers=int(hyper.get("loader_workers", 4))))
+        for sdf_data, surface, idx in batches:
             if multi:
                 sdf_data, surface = shard_batch(mesh, sdf_data, surface)
             key, sub = jax.random.split(key)

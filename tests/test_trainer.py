@@ -91,6 +91,62 @@ def test_lif_dataset_cached_scheme(lif_dir):
     assert not np.array_equal(s1, s2)
 
 
+def test_packed_loader_matches_per_item_distributions(lif_dir):
+    """The packed (vectorized) loader draws from the same distributions as
+    the per-item path: identical pos/neg balance, unit normals under the cone
+    perturbation, per-kind rotation structure, and matching sample moments
+    on repeated draws of one LIF."""
+    for rot in (None, "Y", "X", "Z", "3D"):
+        ds = ldata.LifDataset(str(lif_dir), num_sample=64,
+                              num_surface_sample=32, augment_rotation=rot,
+                              augment_noise=(0.01, 20.0))
+        packed = ldata.pack_dataset(ds)
+        rng = np.random.default_rng(3)
+        ids = np.arange(len(ds))
+        samples, surface = packed.sample_batch(ids, rng)
+        assert samples.shape == (len(ds), 64, 4)
+        assert surface.shape == (len(ds), 32, 6)
+        assert (samples[:, :32, 3] > 0).all() and (samples[:, 32:, 3] <= 0).all()
+        assert np.allclose(np.linalg.norm(surface[:, :, 3:6], axis=-1), 1.0,
+                           atol=1e-4)
+        if rot == "Y":
+            # a Y rotation never mixes the y coordinate: sdf y-draws stay
+            # inside the payload's own y support
+            raw = ds.get_raw_data(0)["data"]
+            assert samples[0, :, 1].min() >= raw[:, 1].min() - 1e-5
+            assert samples[0, :, 1].max() <= raw[:, 1].max() + 1e-5
+
+    # moments of repeated draws of one LIF agree between the two paths
+    ds = ldata.LifDataset(str(lif_dir), num_sample=256, num_surface_sample=64,
+                          augment_rotation="3D", augment_noise=(0.01, 20.0))
+    packed = ldata.pack_dataset(ds)
+    old = np.stack([ds[2][0] for _ in range(100)])
+    new, _ = packed.sample_batch(np.full(100, 2), np.random.default_rng(5))
+    # radial statistics are rotation-invariant -> tight agreement
+    r_old = np.linalg.norm(old[:, :, :3], axis=-1)
+    r_new = np.linalg.norm(new[:, :, :3], axis=-1)
+    assert abs(r_old.mean() - r_new.mean()) < 0.01
+    assert abs(old[:, :, 3].mean() - new[:, :, 3].mean()) < 0.01
+
+
+def test_packed_combined_routes_ids(lif_dir):
+    ds1 = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32)
+    ds2 = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32,
+                           augment_rotation="Y")
+    combined = ldata.LifCombinedDataset(ds1, ds2)
+    packed = ldata.pack_dataset(combined)
+    assert len(packed) == 2 * len(ds1)
+    rng = np.random.default_rng(0)
+    batches = list(ldata.iterate_batches_packed(packed, 4, rng))
+    assert len(batches) == len(packed) // 4
+    for s, f, ids in batches:
+        assert s.shape == (4, 64, 4) and f.shape == (4, 32, 6)
+        assert np.isfinite(s).all() and np.isfinite(f).all()
+    # every id appears exactly once per epoch
+    seen = np.concatenate([b[2] for b in batches])
+    assert len(np.unique(seen)) == len(seen)
+
+
 def test_train_step_reduces_loss(lif_dir):
     ds = ldata.LifDataset(str(lif_dir), num_sample=128, num_surface_sample=64)
     state = TR.create_train_state(SPEC_D, SPEC_E, jax.random.key(0))
