@@ -128,7 +128,7 @@ class ICLNUIMSequence(RGBDSequence):
         """TUM-freiburg trajectory with the reference's y-flip + 180-deg-z
         canonicalization (icl_nuim.py:38-51)."""
         camera_ext = {}
-        traj_data = np.genfromtxt(traj_path)
+        traj_data = np.atleast_2d(np.genfromtxt(traj_path))
         cano_quat = Isometry(q=Quaternion(axis=np.array([0.0, 0.0, 1.0]), degrees=180.0))
         for cur_p in traj_data:
             cur_q = Quaternion(w=cur_p[-1], x=cur_p[4], y=cur_p[5], z=cur_p[6]).rotation_matrix
