@@ -354,6 +354,39 @@ def iterate_batches_packed(packed, batch_size: int, rng: np.random.Generator,
         yield s, f, ids.astype(np.int32)
 
 
+def prefetch_device(batches, convert, depth: int = 2):
+    """Run ``convert`` (assembly post-processing + device upload, e.g.
+    ``jnp.asarray``) in a background thread ``depth`` items ahead of the
+    consumer.  On the 1-core training host the per-step wall was
+    assembly (47 ms) + tunnel upload (~4.4 MB) + device step SERIALIZED
+    (~180 ms/step measured, study scale); the upload is socket I/O that
+    releases the GIL, so pipelining it against the next batch's numpy
+    assembly recovers most of it.  Worker exceptions re-raise in the
+    consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in batches:
+                q.put(convert(item))
+            q.put(done)
+        except BaseException as e:          # noqa: BLE001 -- re-raised below
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def iterate_batches(dataset, batch_size: int, rng: np.random.Generator,
                     drop_last: bool = True, n_workers: int = 0
                     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

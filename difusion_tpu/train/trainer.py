@@ -70,7 +70,11 @@ def train_step(spec_d: DecoderSpec, loss_cfg: LossConfig, state: TrainState,
                lr_dec: jnp.ndarray, lr_enc: jnp.ndarray, epoch: jnp.ndarray
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step.  sdf_data (B, S, 4) xyz+sdf in voxel-local
-    coords; surface (B, N, 6) xyz+normal."""
+    coords; surface (B, N, 6) xyz+normal.  Inputs may arrive float16 (the
+    `upload_dtype: float16` tunnel-bytes option): everything computes in f32
+    from the first op on."""
+    sdf_data = sdf_data.astype(jnp.float32)
+    surface = surface.astype(jnp.float32)
     B, S, _ = sdf_data.shape
     n_samples = jnp.asarray(B * S, jnp.float32)
     xyz = sdf_data[:, :, 0:3].reshape(-1, 3)
@@ -338,6 +342,15 @@ def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
                    ldata.iterate_batches(
                        dataset, hyper["batch_size"], rng,
                        n_workers=int(hyper.get("loader_workers", 4))))
+        if not multi:
+            # pipeline the tunnel upload (optionally float16 -- halves the
+            # ~4.4 MB/step at study shapes; train_step casts back to f32 as
+            # its first op) against the next batch's host assembly
+            up = np.float16 if str(hyper.get("upload_dtype", "float32")) \
+                == "float16" else np.float32
+            batches = ldata.prefetch_device(
+                batches, lambda b: (jnp.asarray(b[0].astype(up)),
+                                    jnp.asarray(b[1].astype(up)), b[2]))
         for sdf_data, surface, idx in batches:
             if multi:
                 sdf_data, surface = shard_batch(mesh, sdf_data, surface)
