@@ -147,10 +147,15 @@ def _sdf_chunk(q: jnp.ndarray, ref_xyz: jnp.ndarray, ref_normal: jnp.ndarray,
     The reference axis is processed in ``REF_TILE`` tiles under a
     ``lax.scan`` carrying the running top-k (k = num_votes): memory stays
     bounded at (Q, REF_TILE) for any cloud size.  Tie-breaking matches the
-    single-pass ``top_k`` exactly -- within a tile ``top_k`` is stable
-    (lowest index wins), and the merge concatenates the carry (earlier
-    tiles, i.e. lower global indices) before the new tile's candidates, so
-    equal distances still resolve to the lowest global index."""
+    single-pass ``top_k`` by construction -- within a tile ``top_k`` is
+    stable (lowest index wins), and the merge concatenates the carry
+    (earlier tiles, i.e. lower global indices) before the new tile's
+    candidates, so equal distances still resolve to the lowest global
+    index.  Caveat: that equivalence assumes the DISTANCES agree between
+    the tiled and un-tiled programs; each is one 3-term dot, but XLA may
+    in principle fuse/round the two shapes differently per backend, so the
+    guarantee is per-backend determinism (equivalence-tested on the CPU
+    backend, test_sampler.py), not a cross-program bit contract."""
     qn2 = jnp.sum(q * q, axis=1)[:, None]                     # (Q, 1)
     R = ref_xyz.shape[0]
     tile = min(REF_TILE, R)
