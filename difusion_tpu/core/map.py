@@ -280,6 +280,42 @@ def gather_latent_rel(cfg: MapConfig, state: MapState, xyz: jnp.ndarray,
     return latent, rel, valid
 
 
+def gather_latent_rel_cached(cfg: MapConfig, state: MapState, xyz: jnp.ndarray,
+                             aug_table: jnp.ndarray, cache):
+    """:func:`gather_latent_rel` with an iteration-carried cache: when every
+    query falls in the same cell as last time (``cache`` = (cell (N, 3) i32,
+    latent (N, L), valid (N,))), a scalar ``lax.cond`` skips the
+    indexer+row gathers entirely and reuses the cached rows -- EXACT
+    equivalence, since any cell change triggers a full re-gather (there is
+    no stale reuse).  This is the GN tracker's iteration structure made
+    explicit: late GN steps move points sub-voxel, and the per-iteration
+    row gather is gn_track's largest instruction (~0.3 ms/frame,
+    BENCH_ROOFLINE).  Seed the cache with an impossible cell (e.g.
+    ``-2**30``) to force the first gather.  Returns
+    (latent, rel, valid, new_cache)."""
+    pn = normalize_points(cfg, xyz)
+    cell = cell_of(cfg, jax.lax.stop_gradient(pn))
+    c_cell, c_lat, c_val = cache
+    changed = jnp.any(cell != c_cell)
+
+    def fresh(_):
+        inside = in_bounds(cfg, cell)
+        lin = jnp.clip(linearize(cfg, cell), 0, cfg.n_cells - 1)
+        slot = state.indexer[lin]
+        allocated = inside & (slot >= 0)
+        slot_safe = jnp.clip(slot, 0, cfg.capacity - 1)
+        row = aug_table[slot_safe]
+        valid = allocated & (row[:, -1] > cfg.ignore_count_th)
+        latent = jnp.where(valid[:, None], row[:, :-1], 0.0)
+        return latent, valid
+
+    latent, valid = jax.lax.cond(changed, fresh,
+                                 lambda _: (c_lat, c_val), None)
+    latent = jax.lax.stop_gradient(latent)
+    rel = pn - cell.astype(pn.dtype) - 0.5
+    return latent, rel, valid, (cell, latent, valid)
+
+
 def query_sdf(cfg: MapConfig, dec_params: Dict[str, Any], spec: DecoderSpec,
               state: MapState, xyz: jnp.ndarray,
               compute_dtype=jnp.float32,

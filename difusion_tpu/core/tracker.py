@@ -178,6 +178,30 @@ class TrackerConfig(NamedTuple):
     # sensitivity band caused by fusion-order perturbations compounding
     # over 240 frames (ACCURACY_r04 loop_noisy_variance).
     solve_dtype: str = "f32"
+    # Round-4 verdict experiment (a): cache the SDF term's latent-row
+    # gather across GN iterations.  The per-iteration aug_table row gather
+    # is the single largest instruction in gn_track (~0.3 ms/frame,
+    # BENCH_ROOFLINE); most GN steps move points sub-voxel, so the cache
+    # carries (cell, latent, valid) in the while-loop and a scalar
+    # lax.cond re-runs the indexer+row gather ONLY when some point crossed
+    # a voxel boundary (exact-equivalence preserving: any change means a
+    # full re-gather, there is no stale reuse).  Dense-map, non-fused path
+    # only.
+    sdf_gather_cache: bool = False
+    # Round-4 verdict experiment (b): unroll the GN while-loop body 2x to
+    # amortize the loop-boundary relayout copies (~0.25 ms/frame in the
+    # round-4 trace).  The second evaluation is guarded by lax.cond on the
+    # first's `done`, so the evaluation SEQUENCE (and numerics) are
+    # identical to the unrolled=1 loop.
+    gn_unroll: int = 1
+    # Deliberate reduction-order perturbation for sensitivity studies
+    # (round-4 verdict missing #2 / weak #2): seed != 0 applies a fixed
+    # pseudo-random permutation to the SDF term's point set each frame.
+    # Mathematically neutral (every GN reduction sums over points), so any
+    # ATE movement it causes measures the tracker's f32
+    # accumulation-order sensitivity -- the quantity solve_dtype=
+    # "compensated" exists to kill.
+    perturb_points: int = 0
 
     @classmethod
     def from_args(cls, args, point_budget: int = 1 << 14) -> "TrackerConfig":
@@ -224,6 +248,11 @@ class TrackerConfig(NamedTuple):
                                        d["rgb_fullres_K"])),
             sdf_fused=str(getattr(args, "sdf_fused", d["sdf_fused"])),
             solve_dtype=str(getattr(args, "solve_dtype", d["solve_dtype"])),
+            sdf_gather_cache=bool(getattr(args, "sdf_gather_cache",
+                                          d["sdf_gather_cache"])),
+            gn_unroll=int(getattr(args, "gn_unroll", d["gn_unroll"])),
+            perturb_points=int(getattr(args, "perturb_points",
+                                       d["perturb_points"])),
         )
 
 
@@ -567,7 +596,7 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               pts: jnp.ndarray, mask: jnp.ndarray, robust_kernel: str,
               robust_k: float, compute_dtype=jnp.float32,
               aug_table: jnp.ndarray = None, fused: bool = False,
-              compensated: bool = False):
+              compensated: bool = False, cache=None):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
     (reference compute_sdf_Hg, tracker.py:174-218).  ``aug_table`` is the
     caller's per-frame :func:`~difusion_tpu.core.map.latent_count_table`
@@ -594,6 +623,21 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
             interpret=jax.default_backend() == "cpu")
         r = sdf / std
         G = (grel / (std[:, None] * map_cfg.voxel_size)) @ last.R
+    elif cache is not None:
+        # iteration-cached gather (sdf_gather_cache): dense map only
+        assert not is_hash, "sdf_gather_cache needs the dense map backend"
+        from ..models.decoder import decode
+
+        def residual_c(y_pts):
+            x = last.apply(y_pts)
+            latent, rel, valid, new_cache = M.gather_latent_rel_cached(
+                map_cfg, state, x, aug_table, cache)
+            sdf, std = decode(dec_params, spec, latent, rel,
+                              compute_dtype=compute_dtype)
+            return sdf / jax.lax.stop_gradient(std), (valid, new_cache)
+
+        r, vjp_fn, (valid, new_cache) = jax.vjp(residual_c, y, has_aux=True)
+        (G,) = vjp_fn(jnp.ones_like(r))                   # (N, 3) dr/dy
     else:
         query = HM.query_sdf if is_hash else M.query_sdf
 
@@ -620,10 +664,13 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
         # regardless of XLA reduction order (ops/compsum docstring)
         Mm = compsum.gram_compensated(
             jnp.concatenate([J, r[:, None]], axis=1), w, scale)
-        return Mm[:6, :6], Mm[:6, 6], Mm[6, 6]
-    H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
-    g = jnp.sum(J * (w * r)[:, None], axis=0) * scale
-    energy = jnp.sum(w * r * r) * scale
+        H, g, energy = Mm[:6, :6], Mm[:6, 6], Mm[6, 6]
+    else:
+        H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
+        g = jnp.sum(J * (w * r)[:, None], axis=0) * scale
+        energy = jnp.sum(w * r * r) * scale
+    if cache is not None:
+        return H, g, energy, new_cache
     return H, g, energy
 
 
@@ -824,8 +871,24 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     aug_table = jax.lax.optimization_barrier(M.latent_count_table(state))
     sdf_fused = resolve_sdf_fused(tcfg, spec)
     compensated = tcfg.solve_dtype == "compensated"
+    use_gcache = (tcfg.sdf_gather_cache and not sdf_fused
+                  and not isinstance(map_cfg, HM.HashMapConfig))
+    sdf_pts, sdf_mask = cur.pts_cam, cur.pc_mask
+    if tcfg.perturb_points:
+        # sensitivity-study knob: a fixed pseudo-random permutation of the
+        # SDF point set -- mathematically neutral, perturbs only the f32
+        # reduction order (TrackerConfig.perturb_points docstring)
+        perm = jax.random.permutation(jax.random.key(tcfg.perturb_points),
+                                      sdf_pts.shape[0])
+        sdf_pts, sdf_mask = sdf_pts[perm], sdf_mask[perm]
 
-    def eval_Hg(delta: Pose, terms, is_last_group: bool):
+    def _gcache_init():
+        n_pts = cur.pts_cam.shape[0]
+        return (jnp.full((n_pts, 3), -(1 << 30), jnp.int32),
+                jnp.zeros((n_pts, map_cfg.latent_dim), jnp.float32),
+                jnp.zeros((n_pts,), bool))
+
+    def eval_Hg(delta: Pose, terms, is_last_group: bool, gcache):
         H = jnp.zeros((6, 6), jnp.float32)
         g = jnp.zeros(6, jnp.float32)
         E = jnp.zeros((), jnp.float32)
@@ -836,12 +899,16 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                               else tcfg.sdf_compute_dtype)
         for term in terms:
             if term[0] == "sdf":
-                tH, tg, tE = _sdf_term(map_cfg, dec_params, spec, state, last,
-                                       delta, cur.pts_cam, cur.pc_mask,
-                                       tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
-                                       compute_dtype=sdf_dtype,
-                                       aug_table=aug_table, fused=sdf_fused,
-                                       compensated=compensated)
+                out = _sdf_term(map_cfg, dec_params, spec, state, last,
+                                delta, sdf_pts, sdf_mask,
+                                tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
+                                compute_dtype=sdf_dtype,
+                                aug_table=aug_table, fused=sdf_fused,
+                                compensated=compensated, cache=gcache)
+                if gcache is not None:
+                    tH, tg, tE, gcache = out
+                else:
+                    tH, tg, tE = out
             elif term[0] == "rgb":
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur_levels[int(term[1])],
@@ -850,7 +917,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             else:
                 raise ValueError(f"unknown GN term {term!r}")
             H, g, E = H + tH, g + tg, E + tE
-        return H, g, E
+        return H, g, E, gcache
 
     delta = Pose(init_R, init_t)
     n_accept_last = jnp.zeros((), jnp.int32)
@@ -860,13 +927,14 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
         is_last_group = group_idx == len(tcfg.iter_config) - 1
 
         def cond(carry):
-            i, _, _, _, _, _, done = carry
+            i, _, _, _, _, _, done = carry[:7]
             return (i <= n) & ~done
 
         def body(carry, terms=terms, is_last_group=is_last_group):
-            i, dR, dt, bR, bt, bE, done = carry
+            i, dR, dt, bR, bt, bE, done = carry[:7]
+            gcache = carry[7] if use_gcache else None
             d = Pose(dR, dt)
-            H, g, E = eval_Hg(d, terms, is_last_group)
+            H, g, E, gcache = eval_Hg(d, terms, is_last_group, gcache)
             worse = E > bE
             accept = ~worse
             stalled = (bE - E) < tcfg.energy_rel_tol * jnp.abs(E)
@@ -882,13 +950,28 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             # a sub-tolerance step means converged: stop the group (the
             # dropped tail step is below xi_tol and cannot matter)
             converged = (jnp.sum(xi * xi) < tcfg.xi_tol ** 2) | stalled
-            return (i + 1, stepR, stept, bR2, bt2, bE2,
-                    worse | is_last | ~xi_ok | converged)
+            out = (i + 1, stepR, stept, bR2, bt2, bE2,
+                   worse | is_last | ~xi_ok | converged)
+            return out + ((gcache,) if use_gcache else ())
+
+        # gn_unroll=2 runs two body evaluations per loop trip -- the second
+        # inside lax.cond on the first's `done`, so the evaluation sequence
+        # is identical and only the loop-boundary count halves
+        body_n = body
+        if tcfg.gn_unroll >= 2:
+            def body_n(carry, body=body):
+                carry = body(carry)
+                for _ in range(tcfg.gn_unroll - 1):
+                    carry = jax.lax.cond(carry[6], lambda c: c, body, carry)
+                return carry
 
         init = (jnp.zeros((), jnp.int32), delta.R, delta.t,
                 delta.R, delta.t, jnp.full((), jnp.inf, jnp.float32),
                 jnp.zeros((), bool))
-        i_end, _, _, bR, bt, bE, _ = jax.lax.while_loop(cond, body, init)
+        if use_gcache:
+            init = init + (_gcache_init(),)
+        fin = jax.lax.while_loop(cond, body_n, init)
+        i_end, _, _, bR, bt, bE = fin[:6]
         delta = Pose(bR, bt)
         energy = bE
         if group_idx == len(tcfg.iter_config) - 1:

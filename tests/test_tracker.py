@@ -481,3 +481,44 @@ def test_scan_window_stencil_matches_jnp():
     m = np.asarray(a[2])
     dots = np.abs(np.sum(np.asarray(a[1])[m] * np.asarray(b[1])[m], axis=-1))
     assert (dots > 0.9999).mean() > 0.99, dots.min()
+
+
+def test_gather_cache_and_unroll_match_baseline():
+    """Round-4 verdict experiments (a)/(b): `sdf_gather_cache` (iteration-
+    carried latent rows behind a scalar re-gather cond) and `gn_unroll=2`
+    (loop body unrolled under a done-guard) must reproduce the baseline GN
+    trajectory -- both are exact-by-construction restructurings, so the
+    recovered pose must agree to f32 program-reassociation noise."""
+    dec = fold_decoder_params(init_decoder_params(SPEC_D, jax.random.key(0)))
+    enc = fold_encoder_params(init_encoder_params(SPEC_E, jax.random.key(1)))
+    cfg = small_cfg(prune_min_vox_obs=4, ignore_count_th=1.0)
+    pose0 = Isometry()
+    rgb0, depth0, ok0 = render_surface_frame(pose0, CALIB, corrugation=0.1)
+    true_delta = Isometry.from_twist(
+        np.array([0.01, -0.008, 0.012, 0.004, -0.003, 0.005]))
+    pose1 = pose0.dot(true_delta)
+    rgb1, depth1, ok1 = render_surface_frame(pose1, CALIB, corrugation=0.1)
+
+    def run(**kw):
+        tcfg = T.TrackerConfig(point_budget=4096, **kw)
+        tracker = T.SDFTracker(cfg, tcfg, dec, SPEC_D, CALIB)
+        state = M.create_map_state(cfg)
+        p0 = tracker.track_camera(state, rgb0, depth0, set_pose=pose0)
+        w_pts, w_nrm, w_mask = tracker.last_pc_world(p0)
+        state = M.integrate_keyframe(cfg, enc, state, w_pts, w_nrm, w_mask)
+        tracker.track_camera(state, rgb1, depth1)
+        return tracker.pose_at(-1)
+
+    base = run()
+    cached = run(sdf_gather_cache=True)
+    unrolled = run(gn_unroll=2)
+    both = run(sdf_gather_cache=True, gn_unroll=2)
+    for other in (cached, unrolled, both):
+        d = (base.inv().dot(other)).log()
+        assert np.abs(d).max() < 1e-5, (np.abs(d).max(),)
+    # perturb_points is mathematically neutral: at 2-frame scale the
+    # f32 order sensitivity it exposes must stay tiny (the 240-frame
+    # compounding is what the accuracy study measures)
+    perturbed = run(perturb_points=7)
+    d = (base.inv().dot(perturbed)).log()
+    assert np.abs(d).max() < 1e-3, (np.abs(d).max(),)

@@ -83,6 +83,22 @@ def _tracking_args(variant: str = "default"):
         targs.sdf_compute_dtype = "bfloat16"
     elif variant == "packed":    # default scheduling, per-pixel warp texture
         targs.warp_tiled = False
+    elif variant == "compensated":
+        # default scheduling + order-robust GN numerics: pairwise-TwoSum
+        # H/g accumulation and one iterative-refinement solve step -- the
+        # TPU counterpart of the reference's float64 host solve
+        # (reference tracker.py:272); core/tracker.solve_dtype docstring
+        targs.solve_dtype = "compensated"
+    elif variant.startswith("perturbed"):
+        # deliberate reduction-order perturbation (fixed point-set
+        # permutation; seed after the dash, e.g. "perturbed-7").  Pair with
+        # the same seed on "perturbed_comp-7" to measure how much of the
+        # cross-version loop300 sensitivity band compensated accumulation
+        # removes.
+        seed = int(variant.split("-")[1]) if "-" in variant else 7
+        targs.perturb_points = seed
+        if variant.startswith("perturbed_comp"):
+            targs.solve_dtype = "compensated"
     else:   # default = early exits + block-tiled warp (TrackerConfig defaults)
         assert variant == "default", variant
     return targs
