@@ -41,8 +41,11 @@ import os
 import time
 from pathlib import Path
 
-CHUNK = 12
-PASSES = 8
+# chunk length of the streaming scan dispatch; BENCH_CHUNK overrides for
+# transport experiments (larger chunks amortize per-dispatch overhead and
+# give the tunnel bigger sequential uploads -- round-4 verdict item 3)
+CHUNK = int(os.environ.get("BENCH_CHUNK", "12"))
+PASSES = int(os.environ.get("BENCH_PASSES", "8"))
 
 
 def build_system(n_chunks: int = 3, point_budget: int = 1 << 13,
@@ -273,6 +276,7 @@ def main(resident_only: bool = False):
             "vs_baseline": round(mean_fps / 30.0, 3),
             "median": round(float(np.median(fps)), 2),
             "best": round(float(np.max(fps)), 2), "passes": len(fps),
+            "chunk": CHUNK,
             "fps_per_pass": [round(f, 2) for f in fps],
             "resident_fps": round(resident, 2),
             "frame_ms": round(1e3 / resident, 2),
