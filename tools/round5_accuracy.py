@@ -1,0 +1,136 @@
+"""Round-5 accuracy matrix orchestrator: runs the full study (core variants
++ the new `compensated` numerics), the loop300-noisy reduction-order A/B
+(round-4 verdict missing #2), and the mixed-corpus self-trained-prior rows
+(round-4 verdict missing #1), then merges everything -- with a
+round-over-round delta table against ACCURACY_r04.json (verdict item 9) --
+into ACCURACY_r05.json.
+
+Usage: python tools/round5_accuracy.py [--mixed-hyper PATH --mixed-epoch N]
+       [--skip-core] [--skip-band] [--frames 120] [--loop-frames 300]
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_study(argv):
+    from tools.accuracy_study import main as study_main
+    study_main(argv)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mixed-hyper",
+                    default="/tmp/di-checkpoints/study_mixed/hyper.json")
+    ap.add_argument("--mixed-epoch", type=int, default=300)
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--loop-frames", type=int, default=300)
+    ap.add_argument("--scannet", type=int, default=300)
+    ap.add_argument("--skip-core", action="store_true")
+    ap.add_argument("--skip-band", action="store_true")
+    ap.add_argument("--skip-mixed", action="store_true")
+    ap.add_argument("--out", default=str(REPO / "ACCURACY_r05.json"))
+    args = ap.parse_args(argv)
+
+    base = ["--frames", str(args.frames), "--loop-frames",
+            str(args.loop_frames)]
+
+    # 1. core matrix: the four round-4 variants (cross-round comparability)
+    #    + compensated, + the ScanNet long-horizon row + the optimize A/B
+    if not args.skip_core:
+        run_study(base + ["--out", "/tmp/acc_study",
+                          "--scannet", str(args.scannet),
+                          "--variants",
+                          "default,parity,parity_strict,speed,compensated"])
+
+    # 2. reduction-order band A/B on the flagship loop300-noisy row:
+    #    permuted point order, plain vs compensated accumulation, two seeds
+    if not args.skip_band:
+        run_study(base + ["--out", "/tmp/acc_band", "--only", "loop300-noisy",
+                          "--skip-optimize-ab",
+                          "--variants",
+                          "perturbed-7,perturbed_comp-7,"
+                          "perturbed-23,perturbed_comp-23"])
+
+    # 3. mixed-corpus self-trained prior (round-4 missing #1)
+    if not args.skip_mixed and Path(args.mixed_hyper).exists():
+        run_study(base + ["--out", "/tmp/acc_mixed", "--skip-optimize-ab",
+                          "--hyper", args.mixed_hyper,
+                          "--epoch", str(args.mixed_epoch),
+                          "--tag", "+self-prior-mixed",
+                          "--variants", "default"])
+
+    # ---- merge ----
+    rows, extras = [], {}
+    for p, keys in (("/tmp/acc_study/results.json",
+                     ("scannet_long", "mapping_only_ab")),
+                    ("/tmp/acc_band/results.json", ()),
+                    ("/tmp/acc_mixed/results.json", ())):
+        f = Path(p)
+        if not f.exists():
+            continue
+        d = json.loads(f.read_text())
+        rows += d.get("slam", [])
+        for k in keys:
+            if d.get(k):
+                extras[k] = d[k]
+
+    # round-over-round deltas vs ACCURACY_r04 (verdict item 9)
+    r04 = json.loads((REPO / "ACCURACY_r04.json").read_text())
+    prev = {(r["seq"], r["config"]): r["ate_rmse"] for r in r04["slam"]}
+    deltas = []
+    for r in rows:
+        key = (r["seq"], r["config"])
+        if key in prev and prev[key]:
+            deltas.append({"seq": r["seq"], "config": r["config"],
+                           "ate_r04": round(prev[key], 4),
+                           "ate_r05": round(r["ate_rmse"], 4),
+                           "delta_pct": round(
+                               100.0 * (r["ate_rmse"] / prev[key] - 1.0), 1)})
+
+    # band summary: how much movement does the SAME permutation cause under
+    # plain vs compensated accumulation (vs the unperturbed baselines)?
+    ate = {(r["seq"], r["config"]): r["ate_rmse"] for r in rows}
+    band = {}
+    ln = "loop300-noisy"
+    if (ln, "default") in ate:
+        for seed in ("7", "23"):
+            p_pl = ate.get((ln, f"perturbed-{seed}"))
+            p_co = ate.get((ln, f"perturbed_comp-{seed}"))
+            if p_pl is not None:
+                band[f"seed{seed}"] = {
+                    "default": ate[(ln, "default")],
+                    "perturbed_plain": p_pl,
+                    "plain_move_pct": round(
+                        100.0 * abs(p_pl / ate[(ln, "default")] - 1.0), 1)}
+                if p_co is not None and (ln, "compensated") in ate:
+                    band[f"seed{seed}"].update(
+                        compensated=ate[(ln, "compensated")],
+                        perturbed_comp=p_co,
+                        comp_move_pct=round(100.0 * abs(
+                            p_co / ate[(ln, "compensated")] - 1.0), 1))
+
+    out = {"produced_by": "tools/round5_accuracy.py",
+           "notes": {
+               "band_experiment": "perturbed-N applies a fixed pseudo-random "
+               "permutation to the SDF point set (mathematically neutral; "
+               "perturbs only f32 reduction order). plain_move_pct vs "
+               "comp_move_pct measures how much of the cross-version "
+               "loop300 sensitivity band compensated accumulation removes.",
+               "round_over_round_deltas": deltas,
+               "loop_noisy_band": band},
+           "slam": rows, **extras}
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print("wrote", args.out, f"({len(rows)} slam rows,",
+          f"{len(deltas)} r04 deltas)")
+    if band:
+        print(json.dumps(band, indent=1))
+
+
+if __name__ == "__main__":
+    main()
