@@ -110,6 +110,20 @@ class LifDataset:
             return hit
         return np.load(self.data_path / "payload" / ("%08d.npz" % idx))
 
+    def read_raw_once(self, idx: int) -> dict:
+        """One-shot payload read that NEVER populates the cached$ dict.
+
+        :class:`PackedLifDataset` packs every payload into flat arrays and
+        never touches ``get_raw_data`` again, so routing packing through the
+        cache would leave a second full copy of the corpus resident for the
+        whole training run (measured: the round-4 study run idled at ~45 GB
+        baseline, roughly half of it this dead cache; the OOM-killed mixed
+        run had both corpora cached AND packed)."""
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        with np.load(self.data_path / "payload" / ("%08d.npz" % idx)) as raw:
+            return {k: raw[k] for k in raw.files}
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         raw = self.get_raw_data(idx)
         rng = np.random.default_rng((self._seed, idx, next(self._draw)))
@@ -236,18 +250,22 @@ class PackedLifDataset:
     draws are not bit-identical to the per-item path.
     """
 
-    def __init__(self, ds: LifDataset):
+    PACK_CACHE_VERSION = 1
+
+    def __init__(self, ds: LifDataset, disk_cache: bool = True):
         self.num_sample = ds.num_sample
         self.num_surface_sample = ds.num_surface_sample
         self.augment_rotation = ds.augment_rotation
         self.augment_noise = ds.augment_noise
         self._n = len(ds)
+        if disk_cache and self._load_pack_cache(ds):
+            return
         pos_parts, neg_parts, surf_parts = [], [], []
         self.pos_count = np.empty(self._n, np.int64)
         self.neg_count = np.empty(self._n, np.int64)
         self.surf_count = np.empty(self._n, np.int64)
         for i in range(self._n):
-            raw = ds.get_raw_data(i)
+            raw = ds.read_raw_once(i)
             data = raw["data"]
             pos = data[data[:, 3] > 0]
             neg = data[data[:, 3] <= 0]
@@ -255,12 +273,74 @@ class PackedLifDataset:
             self.pos_count[i], self.neg_count[i] = len(pos), len(neg)
             self.surf_count[i] = len(surf)
             pos_parts.append(pos); neg_parts.append(neg); surf_parts.append(surf)
-        self.pos = np.concatenate(pos_parts).astype(np.float32)
-        self.neg = np.concatenate(neg_parts).astype(np.float32)
-        self.surf = np.concatenate(surf_parts).astype(np.float32)
+        # copy=False + clear(): peak stays at corpus + one concatenated copy
+        # instead of 2x corpus + stale part lists
+        self.pos = np.concatenate(pos_parts).astype(np.float32, copy=False)
+        pos_parts.clear()
+        self.neg = np.concatenate(neg_parts).astype(np.float32, copy=False)
+        neg_parts.clear()
+        self.surf = np.concatenate(surf_parts).astype(np.float32, copy=False)
+        surf_parts.clear()
+        self._finish_offsets()
+        if disk_cache:
+            try:
+                self._write_pack_cache(ds)
+            except OSError:
+                pass   # read-only dataset dir: packing still works, in RAM
+
+    def _finish_offsets(self):
         self.pos_off = np.concatenate([[0], np.cumsum(self.pos_count)[:-1]])
         self.neg_off = np.concatenate([[0], np.cumsum(self.neg_count)[:-1]])
         self.surf_off = np.concatenate([[0], np.cumsum(self.surf_count)[:-1]])
+
+    # -- disk pack cache: packing 15k npz payloads costs minutes of npz
+    # decompression on the 1-core host and the result is identical every
+    # run, so persist the flat arrays as raw .npy next to the payloads and
+    # mmap them back.  mmap makes the corpus FILE-BACKED: the page cache
+    # holds hot rows and the kernel can evict under pressure, vs ~14 GB of
+    # anon RAM per training process (this plus the dead cached$ copy is
+    # what OOM-killed the 300-epoch mixed-corpus study run at 130 GB).
+
+    def _pack_meta(self, ds: LifDataset) -> dict:
+        src = ds.data_path / "source.json"
+        st = src.stat()
+        return {"version": self.PACK_CACHE_VERSION, "n": self._n,
+                "source_size": st.st_size, "source_mtime": st.st_mtime}
+
+    def _load_pack_cache(self, ds: LifDataset) -> bool:
+        cdir = ds.data_path / "packed_cache"
+        meta_p = cdir / "meta.json"
+        if not meta_p.exists():
+            return False
+        try:
+            meta = json.loads(meta_p.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        if meta != self._pack_meta(ds):
+            return False
+        try:
+            self.pos = np.load(cdir / "pos.npy", mmap_mode="r")
+            self.neg = np.load(cdir / "neg.npy", mmap_mode="r")
+            self.surf = np.load(cdir / "surf.npy", mmap_mode="r")
+            counts = np.load(cdir / "counts.npz")
+        except OSError:
+            return False
+        self.pos_count = counts["pos"]
+        self.neg_count = counts["neg"]
+        self.surf_count = counts["surf"]
+        self._finish_offsets()
+        return True
+
+    def _write_pack_cache(self, ds: LifDataset) -> None:
+        cdir = ds.data_path / "packed_cache"
+        cdir.mkdir(exist_ok=True)
+        np.save(cdir / "pos.npy", self.pos)
+        np.save(cdir / "neg.npy", self.neg)
+        np.save(cdir / "surf.npy", self.surf)
+        np.savez(cdir / "counts.npz", pos=self.pos_count, neg=self.neg_count,
+                 surf=self.surf_count)
+        # meta LAST: a crash mid-write leaves an invalid cache, not a wrong one
+        (cdir / "meta.json").write_text(json.dumps(self._pack_meta(ds)))
 
     def __len__(self) -> int:
         return self._n

@@ -129,6 +129,42 @@ def test_packed_loader_matches_per_item_distributions(lif_dir):
     assert abs(old[:, :, 3].mean() - new[:, :, 3].mean()) < 0.01
 
 
+def test_packed_disk_cache_roundtrip(tmp_path):
+    """The on-disk pack cache reloads to arrays identical to a fresh pack,
+    invalidates when source.json changes, and never touches the cached$
+    payload dict while packing (the double-residency that OOM-killed the
+    study run)."""
+    d = make_synthetic_lif_dir(tmp_path / "lifs", n_lifs=6, seed=3)
+    ds = ldata.LifDataset("cached$local://" + str(d), num_sample=32,
+                          num_surface_sample=16)
+    fresh = ldata.PackedLifDataset(ds, disk_cache=False)
+    assert ds._cache == {}, "packing must not populate the payload cache"
+    assert not (d / "packed_cache").exists()
+
+    ldata.PackedLifDataset(ds)            # writes the cache
+    assert (d / "packed_cache" / "meta.json").exists()
+    reloaded = ldata.PackedLifDataset(ds)  # mmap reload
+    assert isinstance(reloaded.pos, np.memmap)
+    for k in ("pos", "neg", "surf", "pos_count", "neg_count", "surf_count"):
+        np.testing.assert_array_equal(np.asarray(getattr(reloaded, k)),
+                                      np.asarray(getattr(fresh, k)))
+    # identical draws from the same rng stream
+    rng_a, rng_b = np.random.default_rng(7), np.random.default_rng(7)
+    sa, fa = fresh.sample_batch(np.arange(6), rng_a)
+    sb, fb = reloaded.sample_batch(np.arange(6), rng_b)
+    np.testing.assert_array_equal(sa, sb)
+    np.testing.assert_array_equal(fa, fb)
+
+    # touching source.json invalidates the cache (size change)
+    src = d / "source.json"
+    src.write_text(src.read_text() + " ")
+    ds2 = ldata.LifDataset(str(d), num_sample=32, num_surface_sample=16)
+    again = ldata.PackedLifDataset(ds2)    # re-packs and rewrites
+    assert not isinstance(again.pos, np.memmap) or \
+        np.asarray(again.pos).shape == np.asarray(fresh.pos).shape
+    np.testing.assert_array_equal(np.asarray(again.pos), np.asarray(fresh.pos))
+
+
 def test_packed_combined_routes_ids(lif_dir):
     ds1 = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32)
     ds2 = ldata.LifDataset(str(lif_dir), num_sample=64, num_surface_sample=32,
