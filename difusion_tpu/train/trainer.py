@@ -259,6 +259,12 @@ def load_checkpoint(save_dir: Path, epoch: int, spec_d: DecoderSpec,
 
 def train(args, max_steps: int = -1, log_every: int = 10) -> TrainState:
     """Run the training loop from a reference-style hyper namespace."""
+    # slab-restart friendly: on the remote-compile tunnel a cold train_step
+    # costs minutes; the persistent cache makes every process after the
+    # first start in seconds (tools/train_slabs.py runs one process per K
+    # epochs)
+    from ..utils.jaxtools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     hyper = vars(args) if not isinstance(args, dict) else args
     spec_d = DecoderSpec.from_hyper(hyper)
     spec_e = EncoderSpec.from_hyper(hyper)
