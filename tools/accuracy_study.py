@@ -278,6 +278,16 @@ def main(argv=None):
                               trajectory="loop", **noisy),
     }
     rows = []
+    partial = out / "results.partial.jsonl"
+    if partial.exists():
+        for line in partial.read_text().splitlines():
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+        if rows:
+            print(f"[resume] {len(rows)} finished rows from {partial}",
+                  flush=True)
     for name, kw in datasets.items():
         if args.only and args.only not in name:
             continue
@@ -286,10 +296,18 @@ def main(argv=None):
         if not (d / "groundtruth.txt").exists():
             make_icl(str(d), **kw)
         for label in args.variants.split(","):
+            done = {(r["seq"], r["config"]) for r in rows}
+            if (name, label + args.tag) in done:
+                continue
             r = run_slam(str(d), n, label, hyper=args.hyper,
                          epoch=args.epoch)
             r.update(seq=name, config=label + args.tag)
             rows.append(r)
+            # crash-resilient partial record: a lost tunnel mid-matrix must
+            # not cost the finished rows (reloaded above on rerun)
+            out.mkdir(parents=True, exist_ok=True)
+            with (out / "results.partial.jsonl").open("a") as f:
+                f.write(json.dumps(r) + "\n")
             print(f"[{name} / {label}] ate_rmse={r['ate_rmse']:.4f} m  "
                   f"mesh_err={r.get('mesh_err_mean', float('nan')):.4f} m  "
                   f"{r['fps']:.1f} fps", flush=True)
