@@ -176,7 +176,11 @@ class TrackerConfig(NamedTuple):
     # accumulation makes H, g independent of XLA's reduction order at f32
     # resolution -- the lever for the documented ~30% loop300-noisy ATE
     # sensitivity band caused by fusion-order perturbations compounding
-    # over 240 frames (ACCURACY_r04 loop_noisy_variance).
+    # over 240 frames (ACCURACY_r04 loop_noisy_variance).  "blocked" keeps
+    # the order-robustness that matters for the band (a fixed, explicit
+    # reduction tree: MXU per-block partial Grams + compensated cross-block
+    # combine, ops/compsum.gram_blocked) at plain-einsum cost -- measured
+    # A/B: full cascade +2.0 ms/frame, blocked ~0 (gn_ab.py, round 5).
     solve_dtype: str = "f32"
     # Round-4 verdict experiment (a): cache the SDF term's latent-row
     # gather across GN iterations.  The per-iteration aug_table row gather
@@ -596,7 +600,7 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
               pts: jnp.ndarray, mask: jnp.ndarray, robust_kernel: str,
               robust_k: float, compute_dtype=jnp.float32,
               aug_table: jnp.ndarray = None, fused: bool = False,
-              compensated: bool = False, cache=None):
+              gram_mode: str = "f32", cache=None):
     """SDF residual r = sdf(last o delta y)/std with Jacobian [G | y x G]
     (reference compute_sdf_Hg, tracker.py:174-218).  ``aug_table`` is the
     caller's per-frame :func:`~difusion_tpu.core.map.latent_count_table`
@@ -658,12 +662,13 @@ def _sdf_term(map_cfg: M.MapConfig, dec_params, spec: DecoderSpec,
 
     w = jnp.where(ok, _robust_weight(r, robust_kernel, robust_k), 0.0)
     scale = 1.0 / jnp.maximum(ok.sum(), 1).astype(r.dtype)
-    if compensated:
-        # one compensated Gram of [J | r]: M[:6,:6] = H, M[:6,6] = g,
-        # M[6,6] = E, each accurate to ~1 ulp of the exact f32-product sum
-        # regardless of XLA reduction order (ops/compsum docstring)
-        Mm = compsum.gram_compensated(
-            jnp.concatenate([J, r[:, None]], axis=1), w, scale)
+    if gram_mode != "f32":
+        # one order-robust Gram of [J | r]: M[:6,:6] = H, M[:6,6] = g,
+        # M[6,6] = E -- "compensated" = full TwoSum cascade (~1 ulp of the
+        # exact sum regardless of order), "blocked" = MXU partials +
+        # compensated combine (refactor-stable at plain-einsum cost)
+        Mm = compsum.gram(
+            jnp.concatenate([J, r[:, None]], axis=1), w, scale, gram_mode)
         H, g, energy = Mm[:6, :6], Mm[:6, 6], Mm[6, 6]
     else:
         H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
@@ -707,7 +712,7 @@ def _rgb_level_inputs(tcfg: TrackerConfig, cur: Pyramid, level: int):
 
 def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
               prev: Pyramid, cur_level, prev_tex, delta: Pose,
-              rgb_weight: jnp.ndarray, compensated: bool = False):
+              rgb_weight: jnp.ndarray, gram_mode: str = "f32"):
     """Photometric residual over pyramid level ``level`` (reference
     compute_rgb_Hg, tracker.py:131-172), intrinsics scaled to the level.
     ``cur_level`` comes from :func:`_rgb_level_inputs`; ``prev_tex`` is the
@@ -746,12 +751,23 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
                                           tcfg.rgb_robust_k), 0.0)
         scale = rgb_weight / jnp.maximum(ok3.sum(), 1).astype(f3.dtype)
         r7 = jnp.concatenate([J3, f3[None]], axis=0)       # (7, 4, H2, W2)
-        if compensated:
+        if gram_mode == "blocked":
+            # layout-NATIVE blocked Gram: one partial per image row
+            # (contract p, w; keep h) -- the (H2, 7, 7) partials then
+            # combine through the exact cascade.  No flatten/transpose:
+            # that relayout is what made the flattened modes cost
+            # +1.1-1.9 ms/frame (gn_ab.py round-5 A/B)
+            partials = jnp.einsum("aphw,bphw->hab", r7 * w[None], r7)
+            M = compsum.pairwise_compensated_sum(
+                partials.reshape(partials.shape[0], 49), axis=0
+            ).reshape(7, 7) * scale
+            return M[:6, :6], M[:6, 6], M[6, 6]
+        if gram_mode != "f32":
             # flatten to (N, 7) for the cascade; the relayout this forces
             # is exactly what the plain path's 4D contraction avoids --
             # acceptable under the accuracy opt-in
-            M = compsum.gram_compensated(r7.reshape(7, -1).T, w.reshape(-1),
-                                         scale)
+            M = compsum.gram(r7.reshape(7, -1).T, w.reshape(-1),
+                             scale, gram_mode)
             return M[:6, :6], M[:6, 6], M[6, 6]
         M = jnp.einsum("aphw,bphw->ab", r7 * w[None], r7) * scale
         return M[:6, :6], M[:6, 6], M[6, 6]
@@ -772,9 +788,9 @@ def _rgb_term(level: int, tcfg: TrackerConfig, calib: Intrinsic,
     w = jnp.where(okf, _robust_weight(f, tcfg.rgb_robust_kernel,
                                       tcfg.rgb_robust_k), 0.0)
     scale = rgb_weight / jnp.maximum(okf.sum(), 1).astype(f.dtype)
-    if compensated:
-        M = compsum.gram_compensated(
-            jnp.concatenate([J, f[:, None]], axis=1), w, scale)
+    if gram_mode != "f32":
+        M = compsum.gram(
+            jnp.concatenate([J, f[:, None]], axis=1), w, scale, gram_mode)
         return M[:6, :6], M[:6, 6], M[6, 6]
     H = jnp.einsum("na,nb->ab", J * w[:, None], J) * scale
     g = jnp.sum(J * (w * f)[:, None], axis=0) * scale
@@ -870,7 +886,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     # them): every SDF query then needs one row gather instead of two
     aug_table = jax.lax.optimization_barrier(M.latent_count_table(state))
     sdf_fused = resolve_sdf_fused(tcfg, spec)
-    compensated = tcfg.solve_dtype == "compensated"
+    gram_mode = "f32" if tcfg.solve_dtype == "f32" else tcfg.solve_dtype
     use_gcache = (tcfg.sdf_gather_cache and not sdf_fused
                   and not isinstance(map_cfg, HM.HashMapConfig))
     sdf_pts, sdf_mask = cur.pts_cam, cur.pc_mask
@@ -904,7 +920,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                                 tcfg.sdf_robust_kernel, tcfg.sdf_robust_k,
                                 compute_dtype=sdf_dtype,
                                 aug_table=aug_table, fused=sdf_fused,
-                                compensated=compensated, cache=gcache)
+                                gram_mode=gram_mode, cache=gcache)
                 if gcache is not None:
                     tH, tg, tE, gcache = out
                 else:
@@ -913,7 +929,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
                 tH, tg, tE = _rgb_term(int(term[1]), tcfg, calib, prev,
                                        cur_levels[int(term[1])],
                                        prev_texs[int(term[1])], delta,
-                                       rgb_weight, compensated=compensated)
+                                       rgb_weight, gram_mode=gram_mode)
             else:
                 raise ValueError(f"unknown GN term {term!r}")
             H, g, E = H + tH, g + tg, E + tE
@@ -941,7 +957,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
             bR2 = jnp.where(accept, dR, bR)
             bt2 = jnp.where(accept, dt, bt)
             bE2 = jnp.where(accept, E, bE)
-            xi = _solve_precond(H, g, refine=compensated)
+            xi = _solve_precond(H, g, refine=gram_mode != "f32")
             xi_ok = jnp.all(jnp.isfinite(xi))
             upd = exp_twist(jnp.where(xi_ok, xi, jnp.zeros(6, xi.dtype)))
             is_last = i == n

@@ -91,3 +91,49 @@ def gram_compensated(rows: jnp.ndarray, w: jnp.ndarray, scale) -> jnp.ndarray:
     M = M.at[iu, ju].set(tri)
     lo = jnp.tril_indices(R, -1)
     return M.at[lo].set(M.T[lo])
+
+
+def gram_blocked(rows: jnp.ndarray, w: jnp.ndarray, scale,
+                 block: int = 512) -> jnp.ndarray:
+    """Weighted Gram with BLOCKED order-robust accumulation: per-block
+    partial Grams from one batched contraction (the MXU does the N-axis
+    reduction in fixed hardware order), then the compensated pairwise
+    cascade combines the ~N/block partials exactly.
+
+    Rationale (measured, round 5): the full TwoSum cascade of
+    :func:`gram_compensated` materializes the (N, P) product stack and
+    round-trips it through log2(N) shrinking elementwise kernels --
+    ~+2.0 ms/frame at tracker scale (gn_ab.py, interleaved A/B).  This
+    variant reads ``rows`` once per term inside a single fused
+    batched-matmul and only cascades over the (N/block, R, R) partials,
+    so its cost is within noise of the plain einsum.
+
+    Stability contract (weaker than gram_compensated, sufficient for the
+    refactor band): the result is a fixed, explicitly-structured reduction
+    tree -- XLA cannot reassociate across the block boundary (float adds
+    are not reassociated) and the contraction's internal order is the
+    hardware's fixed sequential-K order -- so numerically-neutral REFACTORS
+    of surrounding code cannot move H, g.  Unlike the full cascade the
+    result is not invariant under PERMUTATION of the input rows (block
+    membership changes); the residual movement is bounded by within-block
+    f32 rounding, measured ~100x smaller than the plain path's
+    (test_tracker.py)."""
+    N, R = rows.shape
+    nb = -(-N // block)
+    pad = nb * block - N
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        w = jnp.pad(w, (0, pad))
+    rw = (rows * w[:, None]).reshape(nb, block, R)
+    rr = rows.reshape(nb, block, R)
+    partials = jnp.einsum("bkr,bks->brs", rw, rr)          # (nb, R, R)
+    M = pairwise_compensated_sum(partials.reshape(nb, R * R), axis=0)
+    return (M * scale).reshape(R, R)
+
+
+def gram(rows: jnp.ndarray, w: jnp.ndarray, scale, mode: str) -> jnp.ndarray:
+    """Dispatch on the tracker's ``solve_dtype`` gram mode."""
+    if mode == "compensated":
+        return gram_compensated(rows, w, scale)
+    assert mode == "blocked", mode
+    return gram_blocked(rows, w, scale)

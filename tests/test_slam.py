@@ -31,13 +31,13 @@ def prior():
     return dec, enc, spec_d
 
 
-def _system(prior, **kw):
+def _system(prior, tcfg=None, **kw):
     dec, enc, spec = prior
     map_cfg = M.MapConfig(bound_min=(-2.0, -2.0, -0.5), n_xyz=(40, 40, 40),
                           voxel_size=0.1, latent_dim=29, capacity=1 << 14,
                           prune_min_vox_obs=4, ignore_count_th=1.0,
                           encoder_count_th=600.0)
-    tcfg = TrackerConfig(point_budget=8192)
+    tcfg = tcfg or TrackerConfig(point_budget=8192)
     calib = Intrinsic(fx=300.0, fy=300.0, cx=79.5, cy=59.5)
     defaults = dict(integrate_interval=4, depth_cut=(0.5, 5.0),
                     mesh_resolution=2, max_triangles=1 << 18)
@@ -75,6 +75,25 @@ def test_slam_synthetic_sequence(prior, tmp_path):
     system.save_map(str(tmp_path / "map.npz"))
     cfg2, state2 = M.load_map(str(tmp_path / "map.npz"))
     assert int(state2.n_occupied) == result["n_voxels"]
+
+
+def test_slam_blocked_gram_tracks_like_default(prior):
+    """solve_dtype='blocked' (layout-native MXU partial Grams + compensated
+    cross-block combine) is the same math as the plain f32 path at f32
+    resolution: the full pipeline must track within noise of the default on
+    a clean synthetic sequence, exercising both the tiled-warp RGB per-row
+    partial path and the SDF blocked gram."""
+    def seq():
+        return SyntheticSequence(n_frames=9, h=120, w=160,
+                                 calib=Intrinsic(300.0, 300.0, 79.5, 59.5),
+                                 corrugation=0.1, motion_scale=0.6)
+    system = _system(prior)
+    base = system.run_sequence(seq())
+    sysb = _system(prior, tcfg=TrackerConfig(point_budget=8192,
+                                             solve_dtype="blocked"))
+    blk = sysb.run_sequence(seq())
+    assert blk["ate_rmse"] < 0.012, blk
+    assert abs(blk["ate_rmse"] - base["ate_rmse"]) < 0.004, (base, blk)
 
 
 def test_slam_mapping_only_gt_poses(prior):

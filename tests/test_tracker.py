@@ -207,6 +207,17 @@ def test_compsum_engages_and_is_order_independent():
     np.testing.assert_allclose(Mc, M64, rtol=5e-6, atol=1e-6)
     assert np.array_equal(Mc, Mc.T)
 
+    # blocked gram: same f64 agreement (cross-block error is captured
+    # exactly; within-block is a 512-term f32 sum)
+    from difusion_tpu.ops.compsum import gram_blocked
+    Mb = np.asarray(jax.jit(lambda r, w: gram_blocked(r, w, 1.0))(rows, w))
+    np.testing.assert_allclose(Mb, M64, rtol=5e-6, atol=1e-6)
+    # and N not a multiple of the block size pads with exact zeros
+    # (slightly looser: within-block plain-f32 sums, not the 1-ulp cascade)
+    Mb2 = np.asarray(jax.jit(
+        lambda r, w: gram_blocked(r, w, 1.0, block=499))(rows, w))
+    np.testing.assert_allclose(Mb2, M64, rtol=5e-5, atol=1e-6)
+
 
 def test_compensated_sdf_term_order_robust():
     """solve_dtype='compensated' motivation (round-4 verdict missing #2):
@@ -229,27 +240,40 @@ def test_compensated_sdf_term_order_robust():
     delta = Pose.identity()
     perm = rng.permutation(n)
 
-    def term(p, compensated):
+    def term(p, mode):
         H, g, E = T._sdf_term(cfg, dec, SPEC_D, state, last, delta,
                               jnp.asarray(p), mask, robust_kernel="huber",
-                              robust_k=5.0, compensated=compensated)
+                              robust_k=5.0, gram_mode=mode)
         return np.asarray(H), np.asarray(g), float(E)
 
-    Hp0, gp0, Ep0 = term(pts, False)
-    Hp1, gp1, Ep1 = term(pts[perm], False)
-    Hc0, gc0, Ec0 = term(pts, True)
-    Hc1, gc1, Ec1 = term(pts[perm], True)
+    Hp0, gp0, Ep0 = term(pts, "f32")
+    Hp1, gp1, Ep1 = term(pts[perm], "f32")
+    Hc0, gc0, Ec0 = term(pts, "compensated")
+    Hc1, gc1, Ec1 = term(pts[perm], "compensated")
+    Hb0, gb0, Eb0 = term(pts, "blocked")
+    Hb1, gb1, Eb1 = term(pts[perm], "blocked")
 
-    # compensated values agree with plain at f32 tolerance (same math)
+    # compensated/blocked values agree with plain at f32 tolerance (same math)
     np.testing.assert_allclose(Hc0, Hp0, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(gc0, gp0, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(Hb0, Hp0, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(gb0, gp0, rtol=1e-4, atol=1e-6)
 
     plain_moved = abs(Hp1 - Hp0).max() + abs(gp1 - gp0).max()
     comp_moved = abs(Hc1 - Hc0).max() + abs(gc1 - gc0).max()
+    blk_moved = abs(Hb1 - Hb0).max() + abs(gb1 - gb0).max()
     # the permutation changes the decoder's gather order too, so plain
-    # movement is guaranteed nonzero; compensated must be far tighter
+    # movement is guaranteed nonzero; compensated must be far tighter.
+    # blocked is only refactor-stable by construction (permutation changes
+    # block membership), so its movement is bounded absolutely by
+    # within-block f32 rounding -- a few ulp of the largest H entry -- not
+    # relative to the plain path (at this unit scale plain movement is
+    # itself near the noise floor; the tracker-scale evidence is the
+    # loop300 band A/B in ACCURACY_r05)
     assert comp_moved <= max(plain_moved * 0.1, 1e-9), \
         (plain_moved, comp_moved)
+    scale_H = max(abs(Hp0).max(), abs(gp0).max())
+    assert blk_moved <= 1e-5 * scale_H, (blk_moved, scale_H)
 
 
 def test_solve_refine_reduces_residual():

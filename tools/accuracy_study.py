@@ -89,6 +89,11 @@ def _tracking_args(variant: str = "default"):
         # TPU counterpart of the reference's float64 host solve
         # (reference tracker.py:272); core/tracker.solve_dtype docstring
         targs.solve_dtype = "compensated"
+    elif variant == "blocked":
+        # order-robust GN numerics at plain-einsum cost: MXU per-block
+        # partial Grams + compensated cross-block combine
+        # (ops/compsum.gram_blocked)
+        targs.solve_dtype = "blocked"
     elif variant.startswith("perturbed"):
         # deliberate reduction-order perturbation (fixed point-set
         # permutation; seed after the dash, e.g. "perturbed-7").  Pair with
@@ -99,6 +104,8 @@ def _tracking_args(variant: str = "default"):
         targs.perturb_points = seed
         if variant.startswith("perturbed_comp"):
             targs.solve_dtype = "compensated"
+        elif variant.startswith("perturbed_blk"):
+            targs.solve_dtype = "blocked"
     else:   # default = early exits + block-tiled warp (TrackerConfig defaults)
         assert variant == "default", variant
     return targs
@@ -312,8 +319,18 @@ def main(argv=None):
                   f"mesh_err={r.get('mesh_err_mean', float('nan')):.4f} m  "
                   f"{r['fps']:.1f} fps", flush=True)
 
+    prior_results = {}
+    if (out / "results.json").exists():
+        try:
+            prior_results = json.loads((out / "results.json").read_text())
+        except json.JSONDecodeError:
+            pass
+
     scannet = None
-    if args.scannet > 0:
+    if args.scannet > 0 and prior_results.get("scannet_long"):
+        scannet = prior_results["scannet_long"]
+        print("[resume] reusing scannet_long row", flush=True)
+    elif args.scannet > 0:
         scannet = run_scannet_long(args.scannet)
         print(f"[{scannet['seq']}] ate_rmse={scannet['ate_rmse']:.4f} m  "
               f"mesh_err={scannet.get('mesh_err_mean', float('nan')):.4f} m  "
@@ -326,7 +343,10 @@ def main(argv=None):
               flush=True)
 
     ab = []
-    if not args.skip_optimize_ab and not args.only:
+    if prior_results.get("mapping_only_ab"):
+        ab = prior_results["mapping_only_ab"]
+        print("[resume] reusing mapping_only_ab rows", flush=True)
+    elif not args.skip_optimize_ab and not args.only:
         for opt in (False, True):
             r = run_mapping_only(args.frames, opt)
             r["latent_optimize"] = opt

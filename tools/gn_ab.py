@@ -20,6 +20,7 @@ ARMS = {
     "unroll2": dict(gn_unroll=2),
     "both": dict(sdf_gather_cache=True, gn_unroll=2),
     "compensated": dict(solve_dtype="compensated"),
+    "blocked": dict(solve_dtype="blocked"),
 }
 
 

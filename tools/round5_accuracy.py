@@ -46,7 +46,8 @@ def main(argv=None):
         run_study(base + ["--out", "/tmp/acc_study",
                           "--scannet", str(args.scannet),
                           "--variants",
-                          "default,parity,parity_strict,speed,compensated"])
+                          "default,parity,parity_strict,speed,compensated,"
+                          "blocked"])
 
     # 2. reduction-order band A/B on the flagship loop300-noisy row:
     #    permuted point order, plain vs compensated accumulation, two seeds
@@ -55,7 +56,8 @@ def main(argv=None):
                           "--skip-optimize-ab",
                           "--variants",
                           "perturbed-7,perturbed_comp-7,"
-                          "perturbed-23,perturbed_comp-23"])
+                          "perturbed-23,perturbed_comp-23,"
+                          "perturbed_blk-7,perturbed_blk-23"])
 
     # 3. mixed-corpus self-trained prior (round-4 missing #1)
     if not args.skip_mixed and Path(args.mixed_hyper).exists():
@@ -114,6 +116,13 @@ def main(argv=None):
                         perturbed_comp=p_co,
                         comp_move_pct=round(100.0 * abs(
                             p_co / ate[(ln, "compensated")] - 1.0), 1))
+                p_blk = ate.get((ln, f"perturbed_blk-{seed}"))
+                if p_blk is not None and (ln, "blocked") in ate:
+                    band[f"seed{seed}"].update(
+                        blocked=ate[(ln, "blocked")],
+                        perturbed_blk=p_blk,
+                        blk_move_pct=round(100.0 * abs(
+                            p_blk / ate[(ln, "blocked")] - 1.0), 1))
 
     out = {"produced_by": "tools/round5_accuracy.py",
            "notes": {
