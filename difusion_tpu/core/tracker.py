@@ -190,8 +190,10 @@ class TrackerConfig(NamedTuple):
     # lax.cond re-runs the indexer+row gather ONLY when some point crossed
     # a voxel boundary (exact-equivalence preserving: any change means a
     # full re-gather, there is no stale reuse).  Dense-map, non-fused path
-    # only.
-    sdf_gather_cache: bool = False
+    # only (auto-disabled elsewhere).  Default ON since round 5: measured
+    # -0.27/-0.35 ms/frame in two interleaved device A/B sessions
+    # (gn_ab.py) with bit-identical numerics.
+    sdf_gather_cache: bool = True
     # Round-4 verdict experiment (b): unroll the GN while-loop body 2x to
     # amortize the loop-boundary relayout copies (~0.25 ms/frame in the
     # round-4 trace).  The second evaluation is guarded by lax.cond on the

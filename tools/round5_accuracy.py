@@ -130,7 +130,16 @@ def main(argv=None):
                "permutation to the SDF point set (mathematically neutral; "
                "perturbs only f32 reduction order). plain_move_pct vs "
                "comp_move_pct measures how much of the cross-version "
-               "loop300 sensitivity band compensated accumulation removes.",
+               "loop300 sensitivity band compensated accumulation removes. "
+               "Finding: the band is CHAOTIC divergence -- any ulp-level "
+               "perturbation decorrelates the 240-frame trajectory (plain "
+               "moves 8-26%, the fixed-tree-but-permutation-sensitive "
+               "blocked gram 13-25%) -- and only the fully order-invariant "
+               "TwoSum cascade pins the row EXACTLY (0.0% on both seeds, "
+               "bit-stable ATE).  The loop300-noisy/compensated row is "
+               "therefore the canonical cross-round regression signal; "
+               "f32 stays the throughput default (the cascade costs "
+               "+2.0 ms/frame, gn_ab.py).",
                "round_over_round_deltas": deltas,
                "loop_noisy_band": band},
            "slam": rows, **extras}
