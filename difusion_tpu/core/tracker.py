@@ -190,10 +190,14 @@ class TrackerConfig(NamedTuple):
     # lax.cond re-runs the indexer+row gather ONLY when some point crossed
     # a voxel boundary (exact-equivalence preserving: any change means a
     # full re-gather, there is no stale reuse).  Dense-map, non-fused path
-    # only (auto-disabled elsewhere).  Default ON since round 5: measured
-    # -0.27/-0.35 ms/frame in two interleaved device A/B sessions
-    # (gn_ab.py) with bit-identical numerics.
-    sdf_gather_cache: bool = True
+    # only (auto-disabled elsewhere).  MEASURED NEGATIVE at default scale
+    # (round 5): wall A/B was ambiguous (-0.35/-0.27/-0.04 ms across three
+    # interleaved sessions -- tunnel noise), but the deterministic device
+    # trace settles it: device_ms_per_frame 4.42 -> 4.53, gn_track
+    # 2.12 -> 2.46 ms with the cache ON -- the carried (N, 3+L+1) cache
+    # state and per-iteration cond cost more copies than the hoisted row
+    # gather saves (~0.3 ms).  Kept as an opt-in record of the experiment.
+    sdf_gather_cache: bool = False
     # Round-4 verdict experiment (b): unroll the GN while-loop body 2x to
     # amortize the loop-boundary relayout copies (~0.25 ms/frame in the
     # round-4 trace).  The second evaluation is guarded by lax.cond on the

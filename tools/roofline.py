@@ -679,6 +679,9 @@ def main(argv=None):
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "BENCH_ROOFLINE.json"))
     ap.add_argument("--trace-dir", default="/tmp/difusion_roofline_trace")
+    ap.add_argument("--tcfg", default="",
+                    help='JSON TrackerConfig overrides, e.g. '
+                         '\'{"sdf_gather_cache": false}\'')
     ap.add_argument("--tiled", action="store_true",
                     help="profile with the block-tiled warp (warp_tiled=True)")
     ap.add_argument("--detail", type=int, default=0,
@@ -697,9 +700,12 @@ def main(argv=None):
     peak = measured_peak_tflops()
     print(f"measured bf16 matmul peak: {peak:.1f} TFLOP/s", flush=True)
 
+    over = dict(warp_tiled=True) if args.tiled else {}
+    if args.tcfg:
+        import json as _json
+        over.update(_json.loads(args.tcfg))
     system, chunks, h, w = bench_mod.build_system(
-        n_chunks=args.chunks,
-        tcfg_overrides=dict(warp_tiled=True) if args.tiled else None)
+        n_chunks=args.chunks, tcfg_overrides=over or None)
     dev_chunks = [jnp.asarray(c) for c in chunks]
     jax.block_until_ready(dev_chunks)
     for c in dev_chunks:                      # warm + flush
@@ -827,6 +833,32 @@ def main(argv=None):
             "VPU work and VMEM relayouts, i.e. occupancy/latency-shaped, "
             "so further perf comes from fewer/larger ops in the GN loop, "
             "not from reducing HBM traffic.")
+    # round-5 verdict item 4: the two named gn_track experiments, run and
+    # measured (tools/gn_ab.py interleaved wall A/B + deterministic trace
+    # deltas from --tcfg ablation rooflines).  Both NEGATIVE at tracker
+    # scale; knobs remain as opt-in records.
+    out["gn_experiments_r05"] = {
+        "sdf_gather_cache": {
+            "verdict": "negative (device)",
+            "wall_ms_delta_sessions": [-0.35, -0.27, -0.04],
+            "trace_device_ms_per_frame": {"off": 4.42, "on": 4.53},
+            "trace_gn_track_ms": {"off": 2.121, "on": 2.464},
+            "why": "carried (N, 3+L+1) cache state + per-iteration cond "
+                   "cost more loop-boundary copies than the hoisted "
+                   "~0.3 ms row gather saves"},
+        "gn_unroll_2": {
+            "verdict": "negative (wall)",
+            "wall_ms_delta": +1.73,
+            "why": "the duplicated body doubles the loop program; the "
+                   "relayout copies it meant to amortize are per-"
+                   "evaluation, not per-trip"},
+        "solve_dtype_blocked": {
+            "verdict": "cost-neutral accuracy option",
+            "wall_ms_delta": -0.26,
+            "note": "layout-native blocked gram ~free, but only the full "
+                    "TwoSum cascade (+1.9 ms) pins the loop300 chaos band "
+                    "(ACCURACY_r05 loop_noisy_band)"},
+    }
     out["measurement_meta"] = {
         "chunks": args.chunks, "frames_per_chunk": CHUNK,
         "warmup_passes": 1, "timed_passes": _PEAK_REPEATS,
