@@ -258,7 +258,9 @@ def main(resident_only: bool = False):
                         k: round(100.0 * (v / ate_def[k] - 1.0), 1)
                         for k, v in ate.items() if ate_def.get(k)}
                     speed_cfg["accuracy_source"] = acc_name
-                break
+                    break   # only stop once speed rows were actually found
+                            # -- an artifact without them must fall through
+                            # to the older one (fps never ships bare)
             except Exception:
                 pass
 

@@ -892,7 +892,7 @@ def gauss_newton(tcfg: TrackerConfig, map_cfg: M.MapConfig, spec: DecoderSpec,
     # them): every SDF query then needs one row gather instead of two
     aug_table = jax.lax.optimization_barrier(M.latent_count_table(state))
     sdf_fused = resolve_sdf_fused(tcfg, spec)
-    gram_mode = "f32" if tcfg.solve_dtype == "f32" else tcfg.solve_dtype
+    gram_mode = tcfg.solve_dtype          # "f32" | "compensated" | "blocked"
     use_gcache = (tcfg.sdf_gather_cache and not sdf_fused
                   and not isinstance(map_cfg, HM.HashMapConfig))
     sdf_pts, sdf_mask = cur.pts_cam, cur.pc_mask

@@ -250,7 +250,7 @@ class PackedLifDataset:
     draws are not bit-identical to the per-item path.
     """
 
-    PACK_CACHE_VERSION = 1
+    PACK_CACHE_VERSION = 2      # v2: meta covers payload bytes/mtime
 
     def __init__(self, ds: LifDataset, disk_cache: bool = True):
         self.num_sample = ds.num_sample
@@ -272,6 +272,15 @@ class PackedLifDataset:
             surf = raw["surface"]
             self.pos_count[i], self.neg_count[i] = len(pos), len(neg)
             self.surf_count[i] = len(surf)
+            # fail LOUDLY like the per-item path would (IndexError on an
+            # empty array): with a zero count, off[id] + floor(u*0) lands on
+            # the NEXT LIF's first row -- silent wrong-LIF training data
+            if not (len(pos) and len(neg) and len(surf)):
+                raise ValueError(
+                    f"payload {i} has empty pos/neg/surface split "
+                    f"({len(pos)}/{len(neg)}/{len(surf)}); packed sampling "
+                    "requires at least one row of each (the generator's "
+                    "min-count filters guarantee this for generated corpora)")
             pos_parts.append(pos); neg_parts.append(neg); surf_parts.append(surf)
         # copy=False + clear(): peak stays at corpus + one concatenated copy
         # instead of 2x corpus + stale part lists
@@ -304,8 +313,19 @@ class PackedLifDataset:
     def _pack_meta(self, ds: LifDataset) -> dict:
         src = ds.data_path / "source.json"
         st = src.stat()
+        # cover the payload FILES too, not just source.json: regenerating
+        # payloads in place (same count, untouched index) must invalidate
+        # the cache.  15k stat() calls cost ~0.1 s -- noise next to the
+        # minutes of npz decode a false hit would silently skip.
+        pay_bytes = pay_mtime = 0.0
+        for i in range(self._n):
+            pst = (ds.data_path / "payload" / ("%08d.npz" % i)).stat()
+            pay_bytes += pst.st_size
+            pay_mtime = max(pay_mtime, pst.st_mtime)
         return {"version": self.PACK_CACHE_VERSION, "n": self._n,
-                "source_size": st.st_size, "source_mtime": st.st_mtime}
+                "source_size": st.st_size, "source_mtime": st.st_mtime,
+                "payload_bytes": pay_bytes,
+                "payload_max_mtime": pay_mtime}
 
     def _load_pack_cache(self, ds: LifDataset) -> bool:
         cdir = ds.data_path / "packed_cache"
@@ -399,7 +419,9 @@ class PackedCombinedDataset:
         ids = np.asarray(ids)
         B = len(ids)
         p0 = self.packs[0]
-        samples = np.empty((B, p0.num_sample, 4), np.float32)
+        # 2*(S//2): each pack returns half pos + half neg rows, which is
+        # S-1 when S is odd -- mirror the per-item path's actual row count
+        samples = np.empty((B, 2 * (p0.num_sample // 2), 4), np.float32)
         surface = np.empty((B, p0.num_surface_sample, 6), np.float32)
         owner = np.searchsorted(self.cumulative_sizes, ids, side="right")
         for d, pack in enumerate(self.packs):
@@ -448,23 +470,46 @@ def prefetch_device(batches, convert, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer is gone: a worker
+        # blocked forever in q.put would pin depth+1 batches of device
+        # buffers for the life of the process after an early consumer exit
+        # (trainer max_steps break, test teardown, exception)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in batches:
-                q.put(convert(item))
-            q.put(done)
+                if stop.is_set() or not _put(convert(item)):
+                    return
+            _put(done)
         except BaseException as e:          # noqa: BLE001 -- re-raised below
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():        # drop pinned buffers promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def iterate_batches(dataset, batch_size: int, rng: np.random.Generator,

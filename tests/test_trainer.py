@@ -2,6 +2,7 @@
 round-trip, and data-parallel sharding over the virtual 8-device mesh
 (capability parity with pytorch/network_trainer.py)."""
 import json
+import time
 
 import numpy as np
 import pytest
@@ -163,6 +164,52 @@ def test_packed_disk_cache_roundtrip(tmp_path):
     assert not isinstance(again.pos, np.memmap) or \
         np.asarray(again.pos).shape == np.asarray(fresh.pos).shape
     np.testing.assert_array_equal(np.asarray(again.pos), np.asarray(fresh.pos))
+
+
+def test_packed_rejects_empty_split_loudly(tmp_path):
+    """A LIF with zero pos (or neg/surface) rows must raise at pack time:
+    silently the gather would land on the NEXT LIF's rows (off+floor(u*0))
+    and train on wrong-voxel data."""
+    d = make_synthetic_lif_dir(tmp_path / "lifs", n_lifs=3, seed=1)
+    with np.load(d / "payload" / "00000001.npz") as bad:
+        data, surf = bad["data"], bad["surface"]
+    np.savez(d / "payload" / "00000001.npz",
+             data=data[data[:, 3] <= 0],       # all-negative: pos is empty
+             surface=surf)
+    ds = ldata.LifDataset(str(d), num_sample=32, num_surface_sample=16)
+    with pytest.raises(ValueError, match="empty pos/neg/surface"):
+        ldata.PackedLifDataset(ds, disk_cache=False)
+
+
+def test_packed_odd_num_sample_matches_per_item_row_count(tmp_path):
+    """Odd samples_per_lif: the per-item path yields 2*(S//2) rows; the
+    packed combined path must produce the same count, not crash on a
+    preallocated S-row buffer."""
+    d = make_synthetic_lif_dir(tmp_path / "lifs", n_lifs=4, seed=2)
+    ds = ldata.LifDataset(str(d), num_sample=33, num_surface_sample=16)
+    per_item, _ = ds[0]
+    assert per_item.shape[0] == 32
+    packed = ldata.pack_dataset(ldata.LifCombinedDataset(ds))
+    s, f = packed.sample_batch(np.arange(4), np.random.default_rng(0))
+    assert s.shape == (4, 32, 4)
+
+
+def test_prefetch_device_early_exit_does_not_hang(tmp_path):
+    """Closing the consumer mid-stream (trainer max_steps break, test
+    teardown) must unblock the worker and drain the queue rather than pin
+    converted batches forever."""
+    import itertools
+    import threading
+
+    n_alive_before = threading.active_count()
+    gen = ldata.prefetch_device(iter(range(1000)), lambda x: x, depth=2)
+    assert next(gen) == 0
+    gen.close()                       # early exit
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_alive_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_alive_before, \
+        "prefetch worker still alive after consumer close"
 
 
 def test_packed_combined_routes_ids(lif_dir):

@@ -44,7 +44,8 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
 
 HYPER = "/root/reference/pytorch/ckpt/default/hyper.json"
 
@@ -284,17 +285,58 @@ def main(argv=None):
         "loop300-noisy": dict(n_frames=args.loop_frames, motion_scale=1.2,
                               trajectory="loop", **noisy),
     }
+    # resume journal with invalidation: a meta first-line records the study
+    # parameters (and the code revision, advisory).  A journal written with
+    # different frame counts is measurement-incompatible and is rotated
+    # aside, not reused; a code-revision mismatch only WARNS, because
+    # intentionally reusing rows across numerics-neutral code changes is
+    # the normal cross-stage workflow (the caller decides by deleting the
+    # journal when the change is not neutral).
+    import subprocess
+    try:
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=str(REPO_ROOT)).stdout.strip()
+    except OSError:
+        git_rev = ""
+    study_params = {"frames": args.frames, "loop_frames": args.loop_frames,
+                    "hyper": args.hyper, "epoch": args.epoch}
     rows = []
     partial = out / "results.partial.jsonl"
     if partial.exists():
-        for line in partial.read_text().splitlines():
+        lines = partial.read_text().splitlines()
+        meta = None
+        for line in lines:
             try:
-                rows.append(json.loads(line))
+                d = json.loads(line)
             except json.JSONDecodeError:
-                pass
-        if rows:
-            print(f"[resume] {len(rows)} finished rows from {partial}",
-                  flush=True)
+                continue
+            if "_study_params" in d:
+                meta = d
+                continue
+            rows.append(d)
+        if meta is None or meta["_study_params"] != study_params:
+            stale = partial.with_suffix(".jsonl.stale")
+            partial.rename(stale)
+            print(f"[resume] journal params mismatch "
+                  f"({None if meta is None else meta['_study_params']} != "
+                  f"{study_params}) -- rotated to {stale.name}, starting "
+                  "fresh", flush=True)
+            rows = []
+        else:
+            if meta.get("_git") and git_rev and meta["_git"] != git_rev:
+                print(f"[resume] WARNING: journal written at code rev "
+                      f"{meta['_git']}, now {git_rev}; reusing rows anyway "
+                      "-- delete the journal if the change was not "
+                      "numerics-neutral", flush=True)
+            if rows:
+                print(f"[resume] {len(rows)} finished rows from {partial}",
+                      flush=True)
+    if not partial.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        with partial.open("w") as f:
+            f.write(json.dumps({"_study_params": study_params,
+                                "_git": git_rev}) + "\n")
     for name, kw in datasets.items():
         if args.only and args.only not in name:
             continue
@@ -320,11 +362,14 @@ def main(argv=None):
                   f"{r['fps']:.1f} fps", flush=True)
 
     prior_results = {}
-    if (out / "results.json").exists():
+    if (out / "results.json").exists():   # reuse gated on identical params below
         try:
             prior_results = json.loads((out / "results.json").read_text())
         except json.JSONDecodeError:
             pass
+
+    if prior_results.get("study_params") != study_params:
+        prior_results = {}    # different frames/prior: do not reuse anything
 
     scannet = None
     if args.scannet > 0 and prior_results.get("scannet_long"):
@@ -370,7 +415,8 @@ def main(argv=None):
             print(f"| {lab} | {r['mesh_err_mean']:.4f} | {r['mesh_err_p95']:.4f} |")
 
     out.mkdir(parents=True, exist_ok=True)
-    payload = {"slam": rows, "mapping_only_ab": ab}
+    payload = {"slam": rows, "mapping_only_ab": ab,
+               "study_params": study_params}
     if scannet is not None:
         payload["scannet_long"] = scannet
     (out / "results.json").write_text(json.dumps(payload, indent=2))

@@ -25,8 +25,12 @@ def run_study(argv):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mixed-hyper",
-                    default="/tmp/di-checkpoints/study_mixed/hyper.json")
+    # default: the committed repo artifact; the /tmp trainer save_dir is the
+    # fallback for a live training run that has not been committed yet
+    _mixed_default = str(REPO / "di-checkpoints/study_mixed/hyper.json")
+    if not Path(_mixed_default).exists():
+        _mixed_default = "/tmp/di-checkpoints/study_mixed/hyper.json"
+    ap.add_argument("--mixed-hyper", default=_mixed_default)
     ap.add_argument("--mixed-epoch", type=int, default=300)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--loop-frames", type=int, default=300)
@@ -60,6 +64,9 @@ def main(argv=None):
                           "perturbed_blk-7,perturbed_blk-23"])
 
     # 3. mixed-corpus self-trained prior (round-4 missing #1)
+    if not args.skip_mixed and not Path(args.mixed_hyper).exists():
+        print(f"WARNING: mixed prior hyper not found at {args.mixed_hyper}; "
+              "skipping the +self-prior-mixed rows", flush=True)
     if not args.skip_mixed and Path(args.mixed_hyper).exists():
         run_study(base + ["--out", "/tmp/acc_mixed", "--skip-optimize-ab",
                           "--hyper", args.mixed_hyper,

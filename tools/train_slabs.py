@@ -96,8 +96,9 @@ def run_slab(cmd, save_dir: Path, stall_s: float) -> int:
         now = time.time()
         if m > last:
             last, last_t = m, now
-        # before the first metrics row the allowance also covers compile
-        if now - max(last_t, t_start if last == 0 else 0) > stall_s:
+        # last_t starts at spawn time, so the first window also covers
+        # compile; after that it is time-since-last-new-metrics-row
+        if now - last_t > stall_s:
             print(f"[slabs] watchdog: no metrics progress for "
                   f"{stall_s / 60:.0f} min -- killing slab", flush=True)
             try:
